@@ -1,0 +1,232 @@
+"""Configuration system: one frozen dataclass + per-dataset preset overlays.
+
+Mirrors the semantics of the reference's twin flag modules (args.py /
+args_coco.py in /root/reference: a ``default_args`` dict + argparse parser +
+``handle_defaults`` merge, args.py:3-190) with a single source of truth.
+The "changed arguments" echo of the reference (args.py:168-180) is kept via
+:func:`diff_from_preset`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # ---- model ----------------------------------------------------------
+    # reference: args.py:4-13
+    model: str = "vit"
+    backbone: str = "vit_base_patch16_224"
+    decoder: str = "LargeFOV"  # LargeFOV | Maskformer
+    pretrained: bool = True
+    pretrained_path: str = ""  # path to a converted (or torch) checkpoint
+    freeze_norm: bool = False
+    aux_layer: int = -3
+    isgap: bool = False  # False -> global max pool cls heads (args.py:13)
+
+    # ---- misc -----------------------------------------------------------
+    # reference: args.py:15-24
+    finalval: bool = True
+    seed: int = 0
+    work_dir: str = "work_dirs"
+    name: str = "cosa"
+    output_dir: str = ""
+    eval_iters: int = 2000
+    log_iters: int = 20  # reference hard-codes 20 (main.py:269)
+    fasteval: bool = False
+    valfull: bool = False
+    eval_threshold_filters: Optional[Tuple[float, ...]] = None
+
+    # ---- data -----------------------------------------------------------
+    # reference: args.py:26-35
+    dataset: str = "VOC12"  # VOC12 | COCO | synthetic
+    crop_size: int = 448
+    scales: Tuple[float, float] = (0.5, 2.0)
+    ignore_index: int = 255
+    num_classes: int = 21
+    data_root: str = ""  # voc12_root / coco_root
+    batch_size: int = 2  # per-device batch (reference: per-GPU, args.py:34)
+    num_workers: int = 4
+
+    # ---- train ----------------------------------------------------------
+    # reference: args.py:37-78
+    max_iters: int = 40000
+    warmup_iters: int = 6000  # loss-gating warmup (main.py:240)
+    lr_warmup_iters: int = 1500  # optimizer LR warmup (main.py:67)
+    lr: float = 6e-5
+    lrscale: float = 10.0  # head/decoder LR multiplier (args.py:123)
+    min_mult: float = 0.0
+    wt_dec: float = 1e-2
+    wt_dec_mult: float = 1.0
+    momentum: float = 0.9994  # EMA teacher momentum (args.py:45)
+    seg_weight: float = 0.1
+    segfg_alpha: float = 0.5
+    cam_weight: float = 0.05
+    camloss_version: str = "v1"
+    segconf_thre: float = 0.25
+    seg_softmaxtemp: float = 0.01
+    reg_weight: float = 0.05
+    pseudo_scales: Tuple[float, ...] = (1.0, 0.5, 1.5)
+    eval_scales: Tuple[float, ...] = (1.0, 0.5, 1.5, 0.75, 1.25)
+    high_thre: float = 0.7
+    high_thre_aux: float = 0.7
+    bkg_thre: float = 0.5
+    low_thre: float = 0.25
+    low_thre_aux: float = 0.25
+    usegmm: bool = False
+    gmmscale: int = 16
+    gmmfilter_thre: float = 0.05
+    gmmemadecay: float = 0.99
+    gmm_em_iters: int = 25  # fixed EM iterations (sklearn's tol-loop is host-bound)
+    queue_update_ratio: int = 100
+    par_downscale: int = 2
+    usepar: bool = False
+    par_dilations: Tuple[int, ...] = (1, 2, 4, 8, 12, 24)
+    par_iters: int = 10
+    aux_cam2seg: bool = True
+    aux_cam2seg_alpha: float = 0.5
+    aux_seg2cam: bool = False
+    aux_seg2cam_alpha: float = 0.5
+    after_softmax: bool = False
+    detach: str = "none"  # all | feat | none | cls
+    use_cammix: bool = False
+
+    # ---- dense-energy regularizer ---------------------------------------
+    # reference: main.py:77 (weight 1e-7, sigma_rgb 15, sigma_xy 100, scale .5)
+    energy_weight: float = 1e-7
+    energy_sigma_rgb: float = 15.0
+    energy_sigma_xy: float = 100.0
+    energy_scale: float = 0.5
+    energy_filter: str = "rff"  # rff | exact (test-only)
+    energy_rff_features: int = 256
+
+    # ---- eval-time CRF ---------------------------------------------------
+    # reference: utils/seg_helper.py:989-996
+    crf_iter: int = 1
+    crf_pos_w: float = 1.0
+    crf_pos_xy: float = 1.0
+    crf_bi_w: float = 4.0
+    crf_bi_xy: float = 121.0
+    crf_bi_rgb: float = 5.0
+
+    # ---- TPU-specific ----------------------------------------------------
+    mixed_precision: bool = True  # bf16 activations/matmuls, f32 params/opt
+    flash_attention: bool = True  # Pallas flash-attention on TPU
+    dp: int = -1  # data-parallel mesh size (-1: all devices / tp)
+    tp: int = 1  # tensor-parallel mesh size (model axis)
+    donate: bool = True
+    checkpoint_keep: int = 2
+    resume: str = ""  # checkpoint dir to resume full training state from
+    profile_dir: str = ""  # enable jax.profiler traces when set
+
+    # ---- derived ---------------------------------------------------------
+    def validate(self) -> "Config":
+        assert self.decoder in ("LargeFOV", "Maskformer"), self.decoder
+        assert self.detach in ("all", "feat", "none", "cls"), self.detach
+        assert self.camloss_version in ("v1", "v2", "v3"), self.camloss_version
+        assert 1.0 in self.pseudo_scales, "scale 1.0 must be in pseudo_scales"
+        assert 0.0 <= self.segfg_alpha <= 1.0
+        assert self.energy_filter in ("rff", "exact")
+        return self
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw).validate()
+
+
+# Per-dataset presets. COCO deltas per reference args_coco.py (diff vs args.py):
+# eval_iters 6000, num_classes 81, batch 4, max_iters 60000, warmup 10000,
+# high_thre 0.65.
+PRESETS: Dict[str, Dict[str, Any]] = {
+    "VOC12": {},
+    "COCO": dict(
+        dataset="COCO",
+        eval_iters=6000,
+        num_classes=81,
+        batch_size=4,
+        max_iters=60000,
+        warmup_iters=10000,
+        high_thre=0.65,
+    ),
+    # tiny synthetic preset for smoke tests / dry runs
+    "synthetic": dict(
+        dataset="synthetic",
+        crop_size=64,
+        num_classes=21,
+        batch_size=2,
+        max_iters=20,
+        warmup_iters=5,
+        lr_warmup_iters=5,
+        eval_iters=10,
+    ),
+}
+
+
+def voc_config(**overrides: Any) -> Config:
+    return Config(**{**PRESETS["VOC12"], **overrides}).validate()
+
+
+def coco_config(**overrides: Any) -> Config:
+    return Config(**{**PRESETS["COCO"], **overrides}).validate()
+
+
+def preset_config(dataset: str, **overrides: Any) -> Config:
+    return Config(**{**PRESETS[dataset], **overrides}).validate()
+
+
+def diff_from_preset(cfg: Config) -> Dict[str, Any]:
+    """Report fields differing from the dataset preset (the reference's
+    'Changed arguments' echo, args.py:168-180)."""
+    base = Config(**PRESETS.get(cfg.dataset, {}))
+    out = {}
+    for f in dataclasses.fields(Config):
+        a, b = getattr(cfg, f.name), getattr(base, f.name)
+        if a != b and f.name != "dataset":
+            out[f.name] = a
+    return out
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    def str2bool(v: str) -> bool:  # reference args.py:182-190
+        if isinstance(v, bool):
+            return v
+        if v.lower() in ("yes", "true", "t", "y", "1"):
+            return True
+        if v.lower() in ("no", "false", "f", "n", "0"):
+            return False
+        raise argparse.ArgumentTypeError("Boolean value expected.")
+
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type in ("bool", bool):
+            parser.add_argument(name, type=str2bool, default=None)
+        elif f.type in ("int", int):
+            parser.add_argument(name, type=int, default=None)
+        elif f.type in ("float", float):
+            parser.add_argument(name, type=float, default=None)
+        elif "Tuple[float" in str(f.type):
+            parser.add_argument(name, type=float, nargs="+", default=None)
+        elif "Tuple[int" in str(f.type):
+            parser.add_argument(name, type=int, nargs="+", default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+
+
+def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
+    """CLI entry mirroring reference main.py:435-454 (dataset re-dispatch)."""
+    parser = argparse.ArgumentParser("CoSA-TPU weakly-supervised segmentation")
+    parser.add_argument("name", type=str, nargs="?", default="cosa")
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+    dataset = ns.dataset or "VOC12"
+    overrides = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in vars(ns).items()
+        if v is not None and k != "name"
+    }
+    cfg = preset_config(dataset, **overrides)
+    cfg = cfg.replace(name=ns.name)
+    return cfg

@@ -1,0 +1,200 @@
+"""Vision Transformer encoder (flax), TPU-native.
+
+Functional twin of the reference's modified-timm encoder
+(/root/reference/models/vit/vit.py:219-330): per-block token taps, a *frozen*
+positional embedding that is bicubic-resized to the input resolution at every
+forward (vit.py:236-237, 288-291), and a ``(cls_token, normed_tokens,
+aux_tokens)`` triple return with the aux tap at ``aux_layer`` (vit.py:321).
+
+TPU-first differences from the reference:
+  * NHWC / (B, N, D) layouts throughout; patch embedding is one strided conv
+    that XLA lowers straight onto the MXU.
+  * all matmuls run in a configurable compute dtype (bf16 by default on TPU)
+    with f32 parameters and f32 LayerNorms; the reference is f32-only.
+  * attention is a single fused kernel (Pallas flash attention on TPU,
+    einsum fallback elsewhere) instead of materialized (N x N) score tensors
+    (reference vit.py:119-137).
+  * the pos-embed resize happens at trace time per static input shape, so
+    each compiled shape folds its interpolation matrices as constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.ops.resize import resize_bicubic
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    base_img_size: int = 224  # grid the pretrained pos-embed was trained at
+
+
+# registry mirroring the reference's constructor zoo (models/vit/vit.py:342+);
+# the tiny/small entries keep tests and dry runs fast.
+BACKBONES = {
+    "vit_base_patch16_224": ViTConfig(),
+    "vit_large_patch16_224": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
+    "vit_small_patch16_224": ViTConfig(
+        embed_dim=384, depth=12, num_heads=6, qkv_bias=True
+    ),
+    "vit_tiny_test": ViTConfig(embed_dim=64, depth=3, num_heads=4, base_img_size=64),
+}
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with a fused softmax(QK^T)V path.
+
+    Reference: models/vit/vit.py:105-137. The reference materializes the
+    full attention matrix in f32; here scores never leave registers/VMEM
+    when the Pallas kernel is active.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, hd)
+        if self.use_flash:
+            from cosa_tpu.kernels.attention import flash_attention
+
+            o = flash_attention(q, k, v, scale=hd ** -0.5)
+        else:
+            q = q * (hd ** -0.5)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        o = o.reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(o)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact
+        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    ln_eps: float
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        # LayerNorm in f32 for EMA-teacher stability over 32k+ steps
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(
+            self.num_heads, self.qkv_bias, self.dtype, self.use_flash, name="attn"
+        )(y.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(int(d * self.mlp_ratio), self.dtype, name="mlp")(
+            y.astype(self.dtype)
+        )
+        return x
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+    aux_layer: int = -3
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """x: (B, H, W, 3) float. Returns (cls_token, tokens, aux_tokens)."""
+        c = self.cfg
+        b, hh, ww, _ = x.shape
+        gh, gw = hh // c.patch_size, ww // c.patch_size
+        gs = c.base_img_size // c.patch_size
+
+        tok = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        tok = tok.reshape(b, gh * gw, c.embed_dim)
+
+        cls_token = self.param(
+            "cls_token",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1, c.embed_dim),
+            jnp.float32,
+        )
+        # frozen pos-embed (reference vit.py:236-237); excluded from the
+        # optimizer via the "frozen" param group (train/optimizer.py) rather
+        # than a requires_grad flag.
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, gs * gs + 1, c.embed_dim),
+            jnp.float32,
+        )
+        patch_pos = pos_embed[:, 1:, :].reshape(1, gs, gs, c.embed_dim)
+        patch_pos = resize_bicubic(patch_pos, (gh, gw)).reshape(
+            1, gh * gw, c.embed_dim
+        )
+        pos = jnp.concatenate([pos_embed[:, :1, :], patch_pos], axis=1)
+
+        tok = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, c.embed_dim)).astype(self.dtype), tok],
+            axis=1,
+        )
+        tok = tok + pos.astype(self.dtype)
+
+        aux_idx = c.depth + self.aux_layer if self.aux_layer < 0 else self.aux_layer
+        aux_tokens = None
+        for i in range(c.depth):
+            tok = Block(
+                c.num_heads,
+                c.mlp_ratio,
+                c.qkv_bias,
+                c.ln_eps,
+                self.dtype,
+                self.use_flash,
+                name=f"blocks_{i}",
+            )(tok)
+            if i == aux_idx:
+                aux_tokens = tok
+        tok = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm")(tok)
+        tok = tok.astype(self.dtype)
+        if aux_tokens is None:  # aux tap at the final (normed) layer
+            aux_tokens = tok
+        return tok[:, 0], tok[:, 1:], aux_tokens[:, 1:]

@@ -1,0 +1,18 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+The reference has no tests at all (SURVEY.md §4); our pyramid runs every
+multi-device path on a virtual CPU mesh so sharding logic is exercised
+without TPU hardware.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = os.environ.get("COSA_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
