@@ -81,7 +81,7 @@ class Config:
     gmmscale: int = 16
     gmmfilter_thre: float = 0.05
     gmmemadecay: float = 0.99
-    gmm_em_iters: int = 25  # fixed EM iterations (sklearn's tol-loop is host-bound)
+    gmm_em_iters: int = 100  # fixed EM iterations (sklearn's tol-loop is host-bound)
     queue_update_ratio: int = 100
     par_downscale: int = 2
     usepar: bool = False
@@ -102,7 +102,7 @@ class Config:
     energy_sigma_xy: float = 100.0
     energy_scale: float = 0.5
     energy_filter: str = "rff"  # rff | exact (test-only)
-    energy_rff_features: int = 256
+    energy_rff_features: int = 2048
 
     # ---- eval-time CRF ---------------------------------------------------
     # reference: utils/seg_helper.py:989-996

@@ -1,0 +1,17 @@
+from cosa_tpu.objectives.losses import (  # noqa: F401
+    multilabel_soft_margin,
+    seg_loss,
+    cam_loss_v1,
+    cam_loss_v2,
+    cam_loss_v3,
+    cross_entropy_ignore,
+)
+from cosa_tpu.objectives.pseudo import (  # noqa: F401
+    cam_validation,
+    cam_to_label,
+    cam2mask,
+    minmax_norm,
+    multi_scale_camseg,
+    seg_refine_by_label,
+    seg_validation,
+)

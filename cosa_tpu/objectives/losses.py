@@ -1,0 +1,134 @@
+"""Training losses.
+
+Numerical twins of the reference's loss formulas — all shapes NHWC:
+  * multilabel soft-margin  (torch F.multilabel_soft_margin_loss; used for
+    image-level cls heads, main.py:127-128, and the pixel-level CAM loss,
+    utils/seg_helper.py:593-602)
+  * fg/bg-separated masked cross-entropy ``seg_loss``
+    (utils/seg_helper.py:800-813)
+  * CAM losses v1/v2/v3 (utils/seg_helper.py:593-653)
+
+Everything is a pure function over f32 arrays; masking replaces the
+reference's in-place ignore_index label surgery so the whole thing fuses
+under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.ops.resize import resize_bilinear
+
+
+def multilabel_soft_margin(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """-mean_i mean_c [ y log sigma(x) + (1-y) log sigma(-x) ].
+
+    Matches torch's multilabel_soft_margin_loss (mean over classes then mean
+    over rows). logits/targets: (..., C); leading dims are flattened rows.
+    """
+    x = logits.astype(jnp.float32)
+    y = targets.astype(jnp.float32)
+    # y*softplus(-x) + (1-y)*softplus(x), stable form
+    per = y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
+    return per.mean(axis=-1).mean()
+
+
+def cross_entropy_ignore(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel CE with ignore mask.
+
+    logits: (B, H, W, C) f32; labels: (B, H, W) int.
+    Returns (sum of CE over valid pixels, valid pixel count).
+    """
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum(), valid.sum()
+
+
+def seg_loss(
+    seg_pred: jnp.ndarray,
+    mask_label: jnp.ndarray,
+    fg_alpha: float = 0.5,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """fg/bg-separated masked CE (reference utils/seg_helper.py:800-813).
+
+    bg term: CE over pixels labelled 0; fg term: CE over pixels with a class
+    label (not 0, not ignore); each sum-normalized by its own count + 1e-6.
+    """
+    bg_label = jnp.where(mask_label != 0, ignore_index, mask_label)
+    fg_label = jnp.where(mask_label == 0, ignore_index, mask_label)
+    bg_sum, bg_cnt = cross_entropy_ignore(seg_pred, bg_label, ignore_index)
+    fg_sum, fg_cnt = cross_entropy_ignore(seg_pred, fg_label, ignore_index)
+    bg = bg_sum / (bg_cnt + 1e-6)
+    fg = fg_sum / (fg_cnt + 1e-6)
+    return (1.0 - fg_alpha) * bg + fg_alpha * fg
+
+
+def _normalized_cam(cam: jnp.ndarray, detach: bool = False) -> jnp.ndarray:
+    """ReLU + per-(sample, channel) min-max normalization over space
+    (reference cam_lossv2, utils/seg_helper.py:604-617)."""
+    cam = jax.nn.relu(cam)
+    d1 = -jnp.max(-cam, axis=(1, 2), keepdims=True)  # = spatial min
+    d2 = jnp.max(cam, axis=(1, 2), keepdims=True) + 1e-4
+    if detach:
+        d1, d2 = jax.lax.stop_gradient(d1), jax.lax.stop_gradient(d2)
+    return (cam - d1) / d2
+
+
+def cam_loss_v1(
+    cam: jnp.ndarray, seg_ps: jnp.ndarray, is_relu: bool = True
+) -> jnp.ndarray:
+    """Pixel-level multilabel soft-margin between ReLU(CAM) and the teacher's
+    soft fg assignments (reference utils/seg_helper.py:593-602).
+
+    cam: (B, h, w, C-1); seg_ps: (B, H, W, C) softmaxed teacher seg probs.
+    """
+    h, w = cam.shape[1:3]
+    fg = resize_bilinear(seg_ps[..., 1:], (h, w))
+    if is_relu:
+        cam = jax.nn.relu(cam)
+    return multilabel_soft_margin(cam, fg)
+
+
+def cam_loss_v2(cam: jnp.ndarray, seg_ps: jnp.ndarray, detach: bool = False) -> jnp.ndarray:
+    """v1 + min-max CAM normalization (utils/seg_helper.py:604-624)."""
+    h, w = cam.shape[1:3]
+    fg = resize_bilinear(seg_ps[..., 1:], (h, w))
+    return multilabel_soft_margin(_normalized_cam(cam, detach), fg)
+
+
+def cam_loss_v3(
+    cam: jnp.ndarray,
+    seg_ps: jnp.ndarray,
+    seg_confident_thre: float = 0.25,
+    detach: bool = False,
+    cambgmax: bool = True,
+    fg_alpha: float = 0.5,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Hard-label CE variant (utils/seg_helper.py:626-653): normalized CAM +
+    synthesized bkg channel scored with seg_loss against argmax pseudo labels
+    thresholded by confidence."""
+    val = jnp.max(seg_ps, axis=-1)
+    lab = jnp.argmax(seg_ps, axis=-1)
+    lab = jnp.where(val <= seg_confident_thre, ignore_index, lab)
+
+    ncam = _normalized_cam(cam, detach)
+    bg = (
+        1.0 - jnp.max(ncam, axis=-1, keepdims=True)
+        if cambgmax
+        else 1.0 - jnp.mean(ncam, axis=-1, keepdims=True)
+    )
+    mix = jnp.concatenate([bg, ncam], axis=-1)
+    mix = resize_bilinear(mix, lab.shape[1:3])
+    return seg_loss(mix, lab, fg_alpha=fg_alpha, ignore_index=ignore_index)

@@ -1,0 +1,241 @@
+"""Pseudo-label generation ops — fully batched, device-resident.
+
+Twins of the reference's utils/seg_helper.py algorithms, redesigned for XLA:
+
+  * :func:`multi_scale_camseg` — teacher multi-scale + flip TTA fuse
+    (seg_helper.py:232-275). Each scale is a static-shape sub-batch inside
+    the same jit; flip pairs ride one doubled batch through the MXU.
+  * :func:`cam2mask` — CAM -> hard pseudo mask via high/low background
+    thresholds (seg_helper.py:721-797). The reference loops over images in
+    Python and gathers the per-image present-class subset
+    (seg_helper.py:766-778); here absent classes are masked to -inf before a
+    full-channel softmax — mathematically identical (softmax restricted to a
+    subset == masked softmax; absent channels get ~0 probability and can
+    never win the argmax) and it vectorizes over the whole batch.
+  * :func:`cam_to_label`, :func:`cam_validation`, :func:`seg_validation`,
+    :func:`seg_refine_by_label` (seg_helper.py:515-591).
+
+img_box convention: (B, 4) int32 rows [h0, h1, w0, w1]; negative ends follow
+Python-slice semantics (reference passes [0,-1,0,-1] in the eval path,
+evaluation_engine.py:137).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.ops.image import hflip
+from cosa_tpu.ops.resize import resize_bilinear
+
+NEG_INF = -1e5  # reference uses -1e5 for invalid-class logits (seg_helper.py:565)
+
+
+def box_mask(img_box: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B,4) [h0,h1,w0,w1] -> (B,h,w) bool inside-box mask (slice semantics)."""
+    b = img_box.shape[0]
+    box = img_box.astype(jnp.int32)
+    h0, h1, w0, w1 = box[:, 0], box[:, 1], box[:, 2], box[:, 3]
+    h0 = jnp.where(h0 < 0, h0 + h, h0)[:, None, None]
+    h1 = jnp.where(h1 < 0, h1 + h, h1)[:, None, None]
+    w0 = jnp.where(w0 < 0, w0 + w, w0)[:, None, None]
+    w1 = jnp.where(w1 < 0, w1 + w, w1)[:, None, None]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    return (iy >= h0) & (iy < h1) & (ix >= w0) & (ix < w1)
+
+
+def minmax_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(sample, channel) spatial min-max normalization — the reference's
+    adaptive_max_pool2d trick (seg_helper.py:265-266)."""
+    mn = jnp.min(x, axis=(1, 2), keepdims=True)
+    mx = jnp.max(x - mn, axis=(1, 2), keepdims=True)
+    return (x - mn) / (mx + eps)
+
+
+def scale_size(h: int, w: int, s: float) -> Tuple[int, int]:
+    return int(s * h), int(s * w)
+
+
+def multi_scale_camseg(
+    forward: Callable[[jnp.ndarray], Dict[str, jnp.ndarray]],
+    imgs: jnp.ndarray,
+    scales: Sequence[float],
+    getcls: bool = False,
+):
+    """Teacher TTA fuse (reference seg_helper.py:232-275 / v3 :399-450).
+
+    ``forward`` maps a (2B, h', w', 3) batch to the model output dict.
+    For each scale the image and its horizontal flip ride one batch; CAMs
+    fuse flip-wise by max then scale-wise by sum + min-max norm; seg logits
+    fuse by sum everywhere.
+
+    Reference quirk preserved: ``cam_aux`` keeps only the LAST scale
+    (seg_helper.py:258 rebinds the list instead of appending), so the fused
+    cam_aux equals the final scale's flip-max — bit-compatible with the
+    released training runs.
+    """
+    b, h, w, _ = imgs.shape
+    assert 1.0 in tuple(scales), "scale 1.0 must be in scales"
+    cam_sum = 0.0
+    cam_aux_last = None
+    seg_sum = 0.0
+    cls_sum = 0.0
+    cls_aux_sum = 0.0
+    for s in scales:
+        x = imgs if s == 1.0 else resize_bilinear(imgs, scale_size(h, w, s))
+        xcat = jnp.concatenate([x, hflip(x)], axis=0)
+        out = forward(xcat)
+        cam = resize_bilinear(out["cam"].astype(jnp.float32), (h, w))
+        cam = jnp.maximum(cam[:b], hflip(cam[b:]))
+        cam_aux = resize_bilinear(out["cam_aux"].astype(jnp.float32), (h, w))
+        cam_aux = jnp.maximum(cam_aux[:b], hflip(cam_aux[b:]))
+        seg = resize_bilinear(out["seg"].astype(jnp.float32), (h, w))
+        seg = seg[:b] + hflip(seg[b:])
+
+        cam_sum = cam_sum + jax.nn.relu(cam)
+        cam_aux_last = jax.nn.relu(cam_aux)
+        seg_sum = seg_sum + seg
+        if getcls:
+            cls_sum = cls_sum + out["cls"].astype(jnp.float32)[:b] + out[
+                "cls"
+            ].astype(jnp.float32)[b:]
+            cls_aux_sum = (
+                cls_aux_sum
+                + out["cls_aux"].astype(jnp.float32)[:b]
+                + out["cls_aux"].astype(jnp.float32)[b:]
+            )
+    cam = minmax_norm(cam_sum)
+    cam_aux = minmax_norm(cam_aux_last)
+    if getcls:
+        return cam, cam_aux, seg_sum, cls_sum, cls_aux_sum
+    return cam, cam_aux, seg_sum
+
+
+def cam_validation(cam: jnp.ndarray, cls_label: jnp.ndarray) -> jnp.ndarray:
+    """Zero CAM channels absent from the image-level label
+    (seg_helper.py:547-551). cam: (B,H,W,C-1), cls_label: (B,C-1)."""
+    return cam * cls_label.astype(cam.dtype)[:, None, None, :]
+
+
+def seg_validation(seg: jnp.ndarray, cls_label: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Assign -1e5 to seg logits of absent classes; bkg always valid
+    (seg_helper.py:581-591). seg: (B,H,W,C), cls_label: (B,C-1)."""
+    if cls_label is None:
+        return seg
+    b = cls_label.shape[0]
+    lab_bk = jnp.concatenate(
+        [jnp.ones((b, 1), cls_label.dtype), cls_label], axis=1
+    )
+    return jnp.where(lab_bk[:, None, None, :] == 0, NEG_INF, seg)
+
+
+def seg_refine_by_label(
+    seg: jnp.ndarray,
+    cls_label: jnp.ndarray,
+    softmaxtemp: float,
+    after_softmax: bool = False,
+) -> jnp.ndarray:
+    """Teacher seg logits -> soft pseudo-assignment for the CAM loss
+    (seg_helper.py:553-568). seg: (B,H,W,C) raw logits."""
+    b = cls_label.shape[0]
+    lab_bk = jnp.concatenate(
+        [jnp.ones((b, 1), cls_label.dtype), cls_label], axis=1
+    ).astype(jnp.float32)[:, None, None, :]
+    if after_softmax:
+        probs = jax.nn.softmax(seg.astype(jnp.float32) / softmaxtemp, axis=-1)
+        return lab_bk * probs
+    masked = jnp.where(lab_bk == 0, NEG_INF, seg.astype(jnp.float32))
+    return jax.nn.softmax(masked / softmaxtemp, axis=-1)
+
+
+def cam_to_label(
+    cam: jnp.ndarray,
+    cls_label: Optional[jnp.ndarray],
+    img_box: Optional[jnp.ndarray] = None,
+    bkg_thre: float = 0.5,
+    high_thre: Optional[float] = None,
+    low_thre: Optional[float] = None,
+    ignore_mid: bool = False,
+    ignore_index: int = 255,
+):
+    """Argmax CAM -> label map (+1 class offset, bkg where max <= bkg_thre)
+    (seg_helper.py:515-545). cam: (B,H,W,C-1)."""
+    valid_cam = cam if cls_label is None else cam_validation(cam, cls_label)
+    cam_value = jnp.max(valid_cam, axis=-1)
+    label = jnp.argmax(valid_cam, axis=-1).astype(jnp.int32) + 1
+    label = jnp.where(cam_value <= bkg_thre, 0, label)
+    if img_box is None:
+        return label
+    if ignore_mid:
+        label = jnp.where(cam_value <= high_thre, ignore_index, label)
+        label = jnp.where(cam_value <= low_thre, 0, label)
+    inside = box_mask(img_box, cam.shape[1], cam.shape[2])
+    label = jnp.where(inside, label, ignore_index)
+    return valid_cam, label
+
+
+def _threshold_argmax(
+    cams_with_bkg: jnp.ndarray,
+    lab_bk: jnp.ndarray,
+    down: Tuple[int, int],
+    orig: Tuple[int, int],
+    refine_fn=None,
+    images_down: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """softmax over present channels at low res -> (refine) -> upsample -> argmax."""
+    x = resize_bilinear(cams_with_bkg, down) if down != orig else cams_with_bkg
+    x = jnp.where(lab_bk[:, None, None, :] == 0, NEG_INF, x)
+    probs = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+    if refine_fn is not None:
+        probs = refine_fn(images_down, probs)
+    probs = resize_bilinear(probs, orig)
+    return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+
+def cam2mask(
+    img_box: jnp.ndarray,
+    cams: jnp.ndarray,
+    cls_labels: jnp.ndarray,
+    threshold_high: jnp.ndarray,
+    threshold_low: jnp.ndarray,
+    downscale: int = 2,
+    ignore_index: int = 255,
+    refine_fn=None,
+    images: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """CAM -> hard pseudo mask (reference seg_helper.py:721-797), batched.
+
+    cams: (B,H,W,C-1) *validated* CAMs; thresholds may be scalars or traced
+    scalars (GMM-adaptive). ``refine_fn(images_down, probs)`` is the optional
+    PAR pass operating on (B,h,w,C) prob maps at the downscaled resolution;
+    ``images`` (B,H,W,3, 0-1 denormalized) is required when it is given.
+
+    Merge rule (seg_helper.py:781-783): start from the high-threshold label;
+    where high says bkg -> ignore; where both say bkg -> bkg; outside the
+    img_box -> ignore.
+    """
+    b, h, w, _ = cams.shape
+    ones = jnp.ones((b, h, w, 1), cams.dtype)
+    lab_bk = jnp.concatenate(
+        [jnp.ones((b, 1), cls_labels.dtype), cls_labels], axis=1
+    )
+    down = (h // downscale, w // downscale) if downscale else (h, w)
+    images_down = None
+    if refine_fn is not None:
+        assert images is not None, "cam2mask with refine_fn needs images"
+        images_down = resize_bilinear(images, down) if down != (h, w) else images
+    hi = _threshold_argmax(
+        jnp.concatenate([ones * threshold_high, cams], axis=-1),
+        lab_bk, down, (h, w), refine_fn, images_down,
+    )
+    lo = _threshold_argmax(
+        jnp.concatenate([ones * threshold_low, cams], axis=-1),
+        lab_bk, down, (h, w), refine_fn, images_down,
+    )
+    label = jnp.where(hi == 0, ignore_index, hi)
+    label = jnp.where((hi + lo) == 0, 0, label)
+    inside = box_mask(img_box, h, w)
+    return jnp.where(inside, label, ignore_index)

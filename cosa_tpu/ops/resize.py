@@ -59,6 +59,24 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=512)
+def _linear_matrix_ac(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation matrix for torch bilinear, align_corners=True
+    (used by PAR's mask pre-resize, models/PAR.py:66)."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+    dst = np.arange(out_size, dtype=np.float64)
+    src = dst * scale
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    lam = src - i0
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(m, (dst.astype(np.int64), i0), 1.0 - lam)
+    np.add.at(m, (dst.astype(np.int64), i1), lam)
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=512)
 def _cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
     """Interpolation matrix for torch bicubic (A=-0.75), align_corners=False."""
     if in_size == out_size:
@@ -117,6 +135,14 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """NHWC bilinear resize, exact torch ``align_corners=False`` parity."""
     h, w = x.shape[-3:-1] if x.ndim >= 3 else x.shape
     return _apply_separable(x, _linear_matrix(h, size[0]), _linear_matrix(w, size[1]))
+
+
+def resize_bilinear_ac(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize, torch ``align_corners=True`` parity."""
+    h, w = x.shape[-3:-1] if x.ndim >= 3 else x.shape
+    return _apply_separable(
+        x, _linear_matrix_ac(h, size[0]), _linear_matrix_ac(w, size[1])
+    )
 
 
 def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

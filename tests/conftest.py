@@ -8,7 +8,8 @@ without TPU hardware.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("COSA_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("COSA_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The sandbox's sitecustomize.py force-registers a TPU backend via
+# jax.config.update("jax_platforms", ...) at interpreter start, which wins
+# over the env var — update the live config back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)

@@ -1,0 +1,95 @@
+"""Dense-energy regularizer tests: RFF filter accuracy vs the exact Gaussian
+transform (the mathematical object the reference's permutohedral lattice
+approximates, utils/bilateralfilter/*), and the custom gradient convention
+(utils/seg_helper.py:898-903)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.objectives.energy import get_energy_loss, _dense_energy, _filter
+from cosa_tpu.ops.bilateral import (
+    exact_gaussian_filter,
+    pixel_features,
+    rff_gaussian_filter,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _toy_image(b=1, h=16, w=16):
+    return (RNG.random((b, h, w, 3)) * 255).astype(np.float32)
+
+
+def _natural_image(h=24, w=24):
+    """Piecewise-smooth color blocks + noise — natural-image statistics, the
+    regime the bilateral filter actually runs in."""
+    seg = (RNG.random((4, 4, 3)) * 255).astype(np.float32)
+    img = np.kron(seg, np.ones((h // 4, w // 4, 1))).astype(np.float32)
+    img = img + RNG.normal(0, 8, (h, w, 3)).astype(np.float32)
+    return np.clip(img, 0, 255)[None]
+
+
+def test_orf_matches_exact_filter_direction():
+    """ORF is an unbiased noisy estimate of the exact Gaussian transform:
+    bounded relative error and near-perfect alignment at D=4096."""
+    img = jnp.asarray(_natural_image())
+    feats = pixel_features(img, sigma_rgb=15.0, sigma_xy=50.0).reshape(1, -1, 5)
+    vals = jnp.asarray(RNG.random((1, feats.shape[1], 21)), jnp.float32)
+    exact = exact_gaussian_filter(feats, vals)
+    approx = rff_gaussian_filter(feats, vals, n_features=4096)
+    rel = float(jnp.linalg.norm(approx - exact) / jnp.linalg.norm(exact))
+    cos = float(
+        jnp.vdot(approx, exact)
+        / (jnp.linalg.norm(approx) * jnp.linalg.norm(exact))
+    )
+    assert rel < 0.15, rel
+    assert cos > 0.99, cos
+
+
+def test_rff_energy_close_to_exact_energy():
+    img = jnp.asarray(_natural_image(16, 16))
+    feats = pixel_features(img, 15.0, 50.0)
+    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
+    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
+    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0))
+    e_rff = float(_dense_energy(seg_roi, feats, gate, "rff", 4096, 0))
+    assert abs(e_rff - e_exact) / abs(e_exact) < 0.1
+
+
+def test_custom_gradient_convention():
+    """grad wrt seg_roi must be exactly -2 * AS_gated / N (reference
+    DenseEnergyLossFunction.backward)."""
+    img = jnp.asarray(_toy_image())
+    feats = pixel_features(img, 15.0, 50.0)
+    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 3)), jnp.float32)
+    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
+
+    g = jax.grad(lambda s: _dense_energy(s, feats, gate, "exact", 0, 0))(seg_roi)
+    as_gated = _filter(seg_roi, feats, "exact", 0, 0) * gate
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(-2.0 * as_gated / 1), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_get_energy_loss_pipeline():
+    """End-to-end: differentiable wrt logits, zero-grad outside ROI."""
+    b, h, w, c = 2, 32, 32, 6
+    img = jnp.asarray(RNG.standard_normal((b, h, w, 3)), jnp.float32)
+    logits = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    label = jnp.asarray(
+        RNG.integers(0, c, size=(b, h, w)), jnp.int32
+    ).at[:, :4].set(255)
+    box = jnp.asarray([[0, 32, 0, 32], [4, 28, 4, 28]], jnp.int32)
+
+    def loss_fn(lg):
+        return get_energy_loss(
+            img, lg, label, box, weight=1.0, scale_factor=0.5,
+            filter_kind="exact",
+        )
+
+    loss = float(loss_fn(logits))
+    assert np.isfinite(loss) and loss <= 0.0  # -<seg, AS> with AS >= 0
+    g = jax.grad(loss_fn)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
