@@ -1,0 +1,143 @@
+"""Input pipeline: an iteration-based, thread-prefetched loader.
+
+The reference feeds 2 GPUs from ONE DataLoader worker per rank
+(dataloaders/__init__.py:99) — augmentation-bound input was part of its
+0.92 s/iter. Here decode+augment runs in a thread pool (PIL releases the
+GIL for decode/resize/filter), several batches are prefetched ahead, and
+the device-side normalize runs inside the train step, so batches cross
+host->device as uint8.
+
+Epoch semantics mirror the reference (main.py:74-113): an infinite stream
+of epochs, each a seeded shuffle of the split; per-process sharding by
+jax.process_index() replaces DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from cosa_tpu.data.datasets import (
+    ClsTrainDataset,
+    SegValDataset,
+    build_base,
+)
+
+
+def _train_split(cfg) -> str:
+    return {"VOC12": "train_aug", "COCO": "train", "synthetic": "train"}[cfg.dataset]
+
+
+def _val_split(cfg) -> str:
+    if cfg.dataset == "COCO":
+        return "val" if cfg.valfull else "val_part"
+    return "val"
+
+
+def build_train_dataset(cfg, seed: Optional[int] = None) -> ClsTrainDataset:
+    base = build_base(cfg, _train_split(cfg), "train")
+    return ClsTrainDataset(
+        base,
+        crop_size=cfg.crop_size,
+        rescale_range=cfg.scales,
+        seed=cfg.seed if seed is None else seed,
+    )
+
+
+def build_val_dataset(cfg) -> SegValDataset:
+    return SegValDataset(build_base(cfg, _val_split(cfg), "val"))
+
+
+def build_test_dataset(cfg) -> SegValDataset:
+    split = "val"  # reference uses the val split for final eval too
+    return SegValDataset(build_base(cfg, split, "val"))
+
+
+class TrainLoader:
+    """Infinite loader yielding local-shard batches as stacked numpy dicts."""
+
+    def __init__(
+        self,
+        dataset: ClsTrainDataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.pidx = jax.process_index() if process_index is None else process_index
+        self.pcnt = jax.process_count() if process_count is None else process_count
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._feeder, daemon=True)
+        self._thread.start()
+
+    def _index_stream(self) -> Iterator:
+        n = len(self.ds)
+        epoch = 0
+        while True:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            order = rng.permutation(n)
+            # per-process contiguous shard (drop remainder like the
+            # reference's drop_last=True sampler)
+            per = n // self.pcnt
+            shard = order[self.pidx * per : (self.pidx + 1) * per]
+            usable = (len(shard) // self.batch_size) * self.batch_size
+            for i in range(0, usable, self.batch_size):
+                yield epoch, shard[i : i + self.batch_size]
+            epoch += 1
+
+    def _feeder(self):
+        stream = self._index_stream()
+        for epoch, idxs in stream:
+            if self._stop.is_set():
+                return
+            futures = [self.pool.submit(self.ds.__getitem__, (epoch, int(i))) for i in idxs]
+            samples = [f.result() for f in futures]
+            batch = dict(
+                wimg=np.stack([s["wimg"] for s in samples]),
+                simg=np.stack([s["simg"] for s in samples]),
+                cls_label=np.stack([s["cls_label"] for s in samples]),
+                img_box=np.stack([s["img_box"] for s in samples]),
+            )
+            while not self._stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        return self.q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.pool.shutdown(wait=False)
+
+
+def build_train_loader(cfg, per_process_batch: int, num_workers: Optional[int] = None):
+    ds = build_train_dataset(cfg)
+    return TrainLoader(
+        ds,
+        batch_size=per_process_batch,
+        seed=cfg.seed,
+        num_workers=cfg.num_workers if num_workers is None else num_workers,
+    )

@@ -1,0 +1,159 @@
+"""DenseCRF mean-field inference for final-eval refinement, on device.
+
+Twin of the reference's pydensecrf post-processing (utils/seg_helper.py:
+961-996: DenseCRF(iter_max=1, pos_w=1, pos_xy=1, bi_w=4, bi_xy=121,
+bi_rgb=5) applied at final eval, evaluation_engine.py:205-211). pydensecrf
+wraps Krähenbühl's C++ (Cython); here the mean-field update
+
+    Q <- softmax( log p + sum_k w_k K̂_k Q ),   K̂ = D^-1/2 K D^-1/2
+
+runs in JAX:
+  * the Gaussian (spatial, sigma=1) kernel is EXACT — a separable banded
+    matmul at full resolution;
+  * the bilateral kernel (sigma_xy=121, sigma_rgb=5) is evaluated exactly at
+    1/4 resolution in row-chunks (O(N^2/16) on the MXU) with messages
+    upsampled back — sigma_xy=121 makes the message spatially smooth, so the
+    downsampling error is small. A sort-based permutohedral lattice is the
+    planned full-resolution replacement.
+
+Potts compatibility with weight w matches PottsCompatibility::apply
+(out = -w * in) and symmetric kernel normalization matches the library
+default (NORMALIZE_SYMMETRIC).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosa_tpu.ops.resize import _linear_matrix, resize_bilinear
+
+
+@functools.lru_cache(maxsize=32)
+def _gauss_band(n: int, sigma: float, radius: int = 4) -> np.ndarray:
+    """(n, n) banded 1-D Gaussian filter matrix, truncated at ``radius``."""
+    idx = np.arange(n)
+    m = np.exp(-0.5 * ((idx[None, :] - idx[:, None]) / sigma) ** 2)
+    m[np.abs(idx[None, :] - idx[:, None]) > radius] = 0.0
+    return m.astype(np.float32)
+
+
+def _spatial_filter(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """(H, W, C) separable full-res Gaussian transform (incl. self)."""
+    h, w = q.shape[:2]
+    gh = jnp.asarray(_gauss_band(h, sigma))
+    gw = jnp.asarray(_gauss_band(w, sigma))
+    y = jnp.einsum("ph,hwc->pwc", gh, q)
+    return jnp.einsum("qw,pwc->pqc", gw, y)
+
+
+def _bilateral_exact_chunked(
+    feats: jnp.ndarray, values: jnp.ndarray, chunk: int = 512
+) -> jnp.ndarray:
+    """(N, d) feats x (N, K) values -> exact G @ values in row chunks."""
+    n = feats.shape[0]
+    pad = (-n) % chunk
+    fpad = jnp.pad(feats, ((0, pad), (0, 0)))
+    sq = jnp.sum(feats ** 2, axis=-1)
+    sq_pad = jnp.pad(sq, (0, pad))
+
+    def body(i, out):
+        rows = jax.lax.dynamic_slice_in_dim(fpad, i * chunk, chunk)
+        rsq = jax.lax.dynamic_slice_in_dim(sq_pad, i * chunk, chunk)
+        d2 = rsq[:, None] + sq[None, :] - 2.0 * rows @ feats.T
+        g = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        res = g @ values
+        return jax.lax.dynamic_update_slice_in_dim(out, res, i * chunk, axis=0)
+
+    out = jnp.zeros((n + pad, values.shape[-1]), values.dtype)
+    out = jax.lax.fori_loop(0, (n + pad) // chunk, body, out)
+    return out[:n]
+
+
+def _normalized_message(filter_fn, q: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric-normalized filtered message restricted to valid pixels."""
+    ones = valid
+    norm = filter_fn(ones)
+    inv_sqrt = jnp.where(norm > 1e-20, jax.lax.rsqrt(norm), 0.0)
+    msg = filter_fn(q * inv_sqrt)
+    return msg * inv_sqrt
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _crf_padded(
+    img_pad: jnp.ndarray,  # (P, P, 3) f32 0-255
+    probs_pad: jnp.ndarray,  # (P, P, C)
+    valid: jnp.ndarray,  # (P, P) f32 {0,1}
+    iters: int,
+    pos_w: float,
+    pos_xy: float,
+    bi_w: float,
+    bi_xy: float,
+    bi_rgb: float,
+    reduce: int,
+):
+    p = img_pad.shape[0]
+    c = probs_pad.shape[-1]
+    log_p = jnp.log(jnp.clip(probs_pad, 1e-8, 1.0))
+
+    # quarter-res bilateral features
+    rp = p // reduce
+    img_r = resize_bilinear(img_pad[None], (rp, rp))[0]
+    valid_r = resize_bilinear(valid[None, :, :, None], (rp, rp))[0, :, :, 0]
+    valid_r = (valid_r > 0.5).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 0) * reduce
+    xs = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 1) * reduce
+    feats = jnp.stack(
+        [xs / bi_xy, ys / bi_xy], axis=-1
+    )
+    feats = jnp.concatenate([feats, img_r / bi_rgb], axis=-1).reshape(rp * rp, 5)
+
+    def bilateral_full(qmap):  # (P, P, C or 1) -> same, via quarter res
+        qr = resize_bilinear(qmap[None], (rp, rp))[0]
+        out = _bilateral_exact_chunked(feats, qr.reshape(rp * rp, -1))
+        out = out.reshape(rp, rp, -1)
+        return resize_bilinear(out[None], (p, p))[0]
+
+    def spatial_full(qmap):
+        return _spatial_filter(qmap, pos_xy)
+
+    q = jax.nn.softmax(log_p, axis=-1) * valid[..., None]
+    vmask = valid[..., None]
+    for _ in range(iters):
+        m_pos = _normalized_message(spatial_full, q, vmask)
+        m_bi = _normalized_message(bilateral_full, q, vmask)
+        logits = log_p + pos_w * m_pos + bi_w * m_bi
+        q = jax.nn.softmax(logits, axis=-1) * vmask
+    return jnp.argmax(q, axis=-1).astype(jnp.int32)
+
+
+def crf_refine_host(cfg, img: np.ndarray, probs: np.ndarray) -> np.ndarray:
+    """img: (H, W, 3) uint8; probs: (H, W, C) softmax seg probs.
+    Returns the refined (H, W) int label map."""
+    h, w = img.shape[:2]
+    pad = 500 if cfg.dataset == "VOC12" else 640
+    pad = max(pad, h, w)
+    pad = int(np.ceil(pad / 4) * 4)
+    img_pad = np.zeros((pad, pad, 3), np.float32)
+    img_pad[:h, :w] = img
+    probs_pad = np.zeros((pad, pad, probs.shape[-1]), np.float32)
+    probs_pad[:h, :w] = probs
+    valid = np.zeros((pad, pad), np.float32)
+    valid[:h, :w] = 1.0
+    out = _crf_padded(
+        jnp.asarray(img_pad),
+        jnp.asarray(probs_pad),
+        jnp.asarray(valid),
+        int(cfg.crf_iter),
+        float(cfg.crf_pos_w),
+        float(cfg.crf_pos_xy),
+        float(cfg.crf_bi_w),
+        float(cfg.crf_bi_xy),
+        float(cfg.crf_bi_rgb),
+        4,
+    )
+    return np.asarray(out)[:h, :w]

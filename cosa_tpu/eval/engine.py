@@ -1,0 +1,238 @@
+"""Distributed evaluation engine.
+
+Twin of reference evaluation_engine.py:11-297 — per-image 5-scale + flip TTA,
+CAM->label, raw/class-validated seg argmax, optional per-threshold pseudo-mask
+scoring, classification mAP — redesigned around XLA's static-shape model:
+
+  * the model always sees the crop-size square (the reference resizes every
+    val image to crop_size^2 first, evaluation_engine.py:81), so the TTA
+    forward is ONE compiled program for the whole eval;
+  * variable ground-truth sizes are handled with zero-padded per-image
+    interpolation matrices: logits -> GT-size upsampling becomes two matmuls
+    against host-built (pad, S) matrices, and the confusion matrix is
+    accumulated on device over the padded canvas (pad rows carry ignore
+    labels). No shape ever recompiles.
+  * per-rank results merge with one tiny collective over the (C, C) hists —
+    the reference ships uint8 prediction maps through .pth files on shared
+    disk and merges on rank 0 (evaluation_engine.py:217-231).
+
+Returns the same metric families: CAM / aux_CAM / Seg_ps / Seg_vd (+ optional
+threshold-filtered pseudo scores, + Seg_crf at final eval).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosa_tpu.eval.metrics import (
+    compute_mAP,
+    jax_hist,
+    pseudo_scores,
+    scores_from_hist,
+)
+from cosa_tpu.objectives.pseudo import (
+    cam2mask,
+    cam_to_label,
+    multi_scale_camseg,
+    seg_validation,
+)
+from cosa_tpu.ops.image import normalize
+from cosa_tpu.ops.resize import _linear_matrix
+
+
+def _pad_matrix(in_size: int, out_size: int, pad: int) -> np.ndarray:
+    """(out, in) torch-parity bilinear matrix zero-padded to (out, pad) cols
+    or (pad, out) rows as needed by the caller."""
+    m = _linear_matrix(in_size, out_size)
+    if m.shape[1] < pad:
+        m = np.pad(m, ((0, 0), (0, pad - m.shape[1])))
+    return m
+
+
+def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...]):
+    n = cfg.num_classes
+    s = cfg.crop_size
+
+    @jax.jit
+    def eval_step(params, img_pad, gt_pad, cls_label, m_in_h, m_in_w, m_out_h, m_out_w, box):
+        """img_pad: (1, P, P, 3) u8; gt_pad: (1, P, P) i32 (255 outside);
+        m_in_*: (S, P) image->crop matrices; m_out_*: (P, S) logits->GT
+        matrices; box: (1, 4) = [0, H-1, 0, W-1] for threshold filtering."""
+        img = normalize(img_pad)
+        img_s = jnp.einsum("sh,bhwc->bswc", m_in_h, img)
+        img_s = jnp.einsum("tw,bswc->bstc", m_in_w, img_s)
+
+        fwd = lambda x: model.apply({"params": params}, x)
+        cam, cam_aux, seg, cls_f, cls_a = multi_scale_camseg(
+            fwd, img_s, cfg.eval_scales, getcls=True
+        )
+
+        def up(x):
+            y = jnp.einsum("ph,bhwc->bpwc", m_out_h, x)
+            return jnp.einsum("qw,bpwc->bpqc", m_out_w, y)
+
+        r_cam, r_cam_aux, r_seg = up(cam), up(cam_aux), up(seg)
+
+        cam_label = cam_to_label(r_cam, cls_label, bkg_thre=cfg.bkg_thre)
+        cam_aux_label = cam_to_label(r_cam_aux, cls_label, bkg_thre=cfg.bkg_thre)
+        seg_raw = jnp.argmax(r_seg, axis=-1)
+        seg_vd = jnp.argmax(seg_validation(r_seg, cls_label), axis=-1)
+
+        hists = jnp.stack(
+            [
+                jax_hist(gt_pad, cam_label, n),
+                jax_hist(gt_pad, cam_aux_label, n),
+                jax_hist(gt_pad, seg_raw, n),
+                jax_hist(gt_pad, seg_vd, n),
+            ]
+        )
+
+        thr_hists = []
+        if thresholds:
+            from cosa_tpu.objectives.pseudo import cam_validation
+
+            valid_cam = cam_validation(r_cam, cls_label)
+            valid_cam_aux = cam_validation(r_cam_aux, cls_label)
+            for thre in thresholds:
+                for vc in (valid_cam, valid_cam_aux):
+                    lab = cam2mask(
+                        img_box=box,
+                        cams=vc,
+                        cls_labels=cls_label,
+                        threshold_high=1.0 - thre,
+                        threshold_low=thre,
+                        downscale=cfg.par_downscale,
+                        ignore_index=cfg.ignore_index,
+                    )
+                    # pseudo-score convention (utils/evaluation.py:41-44)
+                    gt_m = jnp.where(lab == 255, 255, gt_pad)
+                    lab_m = jnp.where(lab == 255, 0, lab)
+                    thr_hists.append(jax_hist(gt_m, lab_m, n))
+        thr = jnp.stack(thr_hists) if thr_hists else jnp.zeros((0, n, n), jnp.int32)
+
+        probs = jax.nn.sigmoid(cls_f)
+        probs_aux = jax.nn.sigmoid(cls_a)
+        # valid seg probs for the optional CRF pass (softmax at GT size)
+        vd_probs = jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
+        return hists, thr, probs, probs_aux, vd_probs
+
+    return eval_step
+
+
+def evaluate(
+    cfg,
+    model,
+    params,
+    val_ds,
+    writer=None,
+    getcrf: bool = False,
+    threshold_filters: Optional[Sequence[float]] = None,
+    max_images: Optional[int] = None,
+) -> Dict:
+    """Returns {'CAM': score, 'aux_CAM': ..., 'Seg_ps': ..., 'Seg_vd': ...,
+    'cls_aps': (mAP, mAP_aux), [thresholded pseudo scores], ['Seg_crf']}."""
+    thresholds = tuple(threshold_filters or ())
+    # pad to cover the largest val image (VOC <= 500, COCO <= 640)
+    sizes = [500 if cfg.dataset == "VOC12" else 640]
+    n = cfg.num_classes
+
+    # local shard of the dataset per process
+    idxs = list(range(len(val_ds)))
+    if max_images:
+        idxs = idxs[:max_images]
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    local = idxs[pidx::pcnt]
+
+    pad = sizes[0]
+    eval_step = _build_eval_step(cfg, model, pad, thresholds)
+
+    hist_sum = np.zeros((4, n, n), np.int64)
+    thr_sum = np.zeros((2 * len(thresholds), n, n), np.int64)
+    aps: List[float] = []
+    aps_aux: List[float] = []
+    crf_hist = np.zeros((n, n), np.int64)
+
+    if getcrf:
+        from cosa_tpu.eval.crf import crf_refine_host
+
+    for i in local:
+        sample = val_ds[i]
+        img, gt, cls_label = sample["image"], sample["label"], sample["cls_label"]
+        h, w = img.shape[:2]
+        if h > pad or w > pad:  # defensive: oversized val image
+            pad_i = max(h, w)
+            eval_step_i = _build_eval_step(cfg, model, pad_i, thresholds)
+        else:
+            pad_i, eval_step_i = pad, eval_step
+
+        img_pad = np.zeros((1, pad_i, pad_i, 3), np.uint8)
+        img_pad[0, :h, :w] = img
+        gt_pad = np.full((1, pad_i, pad_i), 255, np.int32)
+        gt_pad[0, :h, :w] = gt
+        m_in_h = _pad_matrix(h, cfg.crop_size, pad_i)
+        m_in_w = _pad_matrix(w, cfg.crop_size, pad_i)
+        m_out_h = np.zeros((pad_i, cfg.crop_size), np.float32)
+        m_out_h[:h] = _linear_matrix(cfg.crop_size, h)
+        m_out_w = np.zeros((pad_i, cfg.crop_size), np.float32)
+        m_out_w[:w] = _linear_matrix(cfg.crop_size, w)
+        box = np.array([[0, h - 1, 0, w - 1]], np.int32)
+
+        hists, thr, probs, probs_aux, vd_probs = eval_step_i(
+            params,
+            jnp.asarray(img_pad),
+            jnp.asarray(gt_pad),
+            jnp.asarray(cls_label[None]),
+            jnp.asarray(m_in_h),
+            jnp.asarray(m_in_w),
+            jnp.asarray(m_out_h),
+            jnp.asarray(m_out_w),
+            jnp.asarray(box),
+        )
+        hist_sum += np.asarray(hists, np.int64)
+        if thresholds:
+            thr_sum += np.asarray(thr, np.int64)
+        if cls_label.sum() > 0:
+            aps += compute_mAP(cls_label[None], np.asarray(probs))
+            aps_aux += compute_mAP(cls_label[None], np.asarray(probs_aux))
+        if getcrf:
+            pred_crf = crf_refine_host(
+                cfg, img, np.asarray(vd_probs)[0, :h, :w]
+            )
+            gt_m = gt.astype(np.int64)
+            from cosa_tpu.eval.metrics import fast_hist
+
+            crf_hist += fast_hist(gt_m.flatten(), pred_crf.flatten(), n)
+
+    # cross-process reduction of the tiny hists
+    if pcnt > 1:
+        from jax.experimental import multihost_utils
+
+        hist_sum = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(hist_sum))
+        ).sum(axis=0)
+        thr_sum = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(thr_sum))
+        ).sum(axis=0)
+        crf_hist = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(crf_hist))
+        ).sum(axis=0)
+
+    out = {
+        "CAM": scores_from_hist(hist_sum[0]),
+        "aux_CAM": scores_from_hist(hist_sum[1]),
+        "Seg_ps": scores_from_hist(hist_sum[2]),
+        "Seg_vd": scores_from_hist(hist_sum[3]),
+        "cls_aps": (float(np.mean(aps)) if aps else 0.0,
+                    float(np.mean(aps_aux)) if aps_aux else 0.0),
+    }
+    for ti, thre in enumerate(thresholds):
+        out[f"cam_{thre}"] = scores_from_hist(thr_sum[2 * ti])
+        out[f"camaux_{thre}"] = scores_from_hist(thr_sum[2 * ti + 1])
+    if getcrf:
+        out["Seg_crf"] = scores_from_hist(crf_hist)
+    return out

@@ -1,0 +1,84 @@
+"""Segmentation metrics: confusion-matrix mIoU/pAcc/mAcc + classification mAP.
+
+Numerical twins of reference utils/evaluation.py:9-59 and
+utils/torch_helper.py:140-148. The confusion matrix is accumulated on device
+during eval (a (C, C) f64-equivalent in i64) and summed across processes with
+one collective — the reference gathers per-rank uint8 prediction maps through
+.pth files on shared disk (evaluation_engine.py:217-231).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fast_hist(label_true: np.ndarray, label_pred: np.ndarray, n: int) -> np.ndarray:
+    """Reference _fast_hist (utils/evaluation.py:9-15)."""
+    mask = (label_true >= 0) & (label_true < n)
+    return np.bincount(
+        n * label_true[mask].astype(np.int64) + label_pred[mask],
+        minlength=n * n,
+    ).reshape(n, n)
+
+
+def jax_hist(gt: jnp.ndarray, pred: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Device-side confusion matrix: same semantics as fast_hist, built with
+    a segment-sum (gt values outside [0, n) — e.g. ignore 255 — are dropped)."""
+    gt = gt.reshape(-1).astype(jnp.int32)
+    pred = pred.reshape(-1).astype(jnp.int32)
+    valid = (gt >= 0) & (gt < n)
+    idx = jnp.where(valid, n * gt + jnp.clip(pred, 0, n - 1), n * n)
+    counts = jnp.zeros((n * n + 1,), jnp.int32).at[idx].add(1)
+    return counts[: n * n].reshape(n, n)
+
+
+def scores_from_hist(hist: np.ndarray) -> Dict:
+    """Reference scores() tail (utils/evaluation.py:21-35)."""
+    hist = hist.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = np.diag(hist).sum() / hist.sum()
+        acc_cls = np.nanmean(np.diag(hist) / hist.sum(axis=1))
+        iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist))
+    valid = hist.sum(axis=1) > 0
+    mean_iu = np.nanmean(iu[valid])
+    return {
+        "pAcc": acc,
+        "mAcc": acc_cls,
+        "miou": mean_iu,
+        "iou": dict(zip(range(hist.shape[0]), iu)),
+    }
+
+
+def scores(label_trues: Sequence, label_preds: Sequence, num_classes: int) -> Dict:
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for lt, lp in zip(label_trues, label_preds):
+        hist += fast_hist(lt.flatten(), lp.flatten(), num_classes)
+    return scores_from_hist(hist)
+
+
+def pseudo_scores(label_trues: Sequence, label_preds: Sequence, num_classes: int) -> Dict:
+    """Reference pseudo_scores (utils/evaluation.py:37-59): prediction 255
+    (ignore band) removes the pixel from scoring."""
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for lt, lp in zip(label_trues, label_preds):
+        lt = lt.flatten().copy()
+        lp = lp.flatten().copy()
+        lt[lp == 255] = 255
+        lp[lp == 255] = 0
+        hist += fast_hist(lt, lp, num_classes)
+    return scores_from_hist(hist)
+
+
+def compute_mAP(labels: np.ndarray, probs: np.ndarray) -> List[float]:
+    """Per-sample average precision over classes (reference
+    utils/torch_helper.py:140-148, sklearn-backed)."""
+    from sklearn.metrics import average_precision_score
+
+    out = []
+    for i in range(labels.shape[0]):
+        if labels[i].sum() > 0:
+            out.append(average_precision_score(labels[i], probs[i]))
+    return out

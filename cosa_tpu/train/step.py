@@ -1,0 +1,226 @@
+"""The compiled co-training step.
+
+One XLA program per iteration covering what the reference spreads over
+main.py:106-252 + host round trips:
+
+  teacher multi-scale TTA  (main.py:121)          -> on device, same jit
+  student forward/backward (main.py:124, 245-248) -> value_and_grad
+  CAM -> pseudo mask       (main.py:134-203)      -> batched cam2mask
+  GMM adaptive thresholds  (main.py:138-151)      -> on-device EM + ring buffer
+  dense-energy regularizer (main.py:208-212)      -> custom-VJP Gaussian filter
+  seg -> CAM soft targets  (main.py:226-228)
+  PolyWarmupAdamW update   (main.py:57-72)        -> optax multi_transform
+  EMA teacher update       (main.py:250-252)      -> tree_map, f32
+
+Gradient all-reduce across the 'data' mesh axis is inserted by XLA (the
+batch is sharded, the params replicated); there is no explicit collective
+and no per-iteration barrier (reference main.py:385).
+
+Loss weighting (main.py:240-243): cls losses always on; seg/cam/reg gated to
+zero while step <= warmup_iters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.objectives.energy import get_energy_loss
+from cosa_tpu.objectives.losses import (
+    cam_loss_v1,
+    cam_loss_v2,
+    cam_loss_v3,
+    multilabel_soft_margin,
+    seg_loss,
+)
+from cosa_tpu.objectives.pseudo import (
+    cam2mask,
+    cam_validation,
+    multi_scale_camseg,
+    seg_refine_by_label,
+)
+from cosa_tpu.ops.gmm import gmm_thresholds
+from cosa_tpu.ops.image import denormalize01, normalize
+from cosa_tpu.ops.par import par_refine
+from cosa_tpu.ops.resize import resize_bilinear
+from cosa_tpu.train.state import GMMState, TrainState
+
+
+def _update_queue(queue: jnp.ndarray, ptr: jnp.ndarray, rows: jnp.ndarray):
+    """Ring-buffer write (reference DynamicQueue.update, seg_helper.py:953-956)."""
+    b = rows.shape[0]
+    queue = jax.lax.dynamic_update_slice(queue, rows, (ptr, 0))
+    return queue, (ptr + b) % queue.shape[0]
+
+
+def _gmm_maxrow(valid_cam: jnp.ndarray, gmmscale: int) -> jnp.ndarray:
+    """(B,H,W,C) validated CAM -> (B, (H/s)*(W/s)) spatial max map rows
+    (main.py:139-143)."""
+    h, w = valid_cam.shape[1:3]
+    red = resize_bilinear(valid_cam, (h // gmmscale, w // gmmscale))
+    return jnp.max(red, axis=-1).reshape(valid_cam.shape[0], -1)
+
+
+def build_train_step(
+    cfg, model, tx
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    camloss_fn = {
+        "v1": cam_loss_v1,
+        "v2": cam_loss_v2,
+        "v3": partial(cam_loss_v3, seg_confident_thre=cfg.segconf_thre),
+    }[cfg.camloss_version]
+
+    refine_fn = None
+    if cfg.usepar:
+        refine_fn = lambda imgs, probs: par_refine(
+            imgs, probs, dilations=cfg.par_dilations, num_iter=cfg.par_iters
+        )
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        wimg = normalize(batch["wimg"])
+        simg = normalize(batch["simg"])
+        cls_label = batch["cls_label"].astype(jnp.float32)
+        img_box = batch["img_box"]
+        h, w = simg.shape[1:3]
+
+        # ---- teacher TTA pseudo labels (no grad) -------------------------
+        teacher_fwd = lambda x: model.apply({"params": state.teacher}, x)
+        cam_ps, cam_aux_ps, seg_ps = jax.lax.stop_gradient(
+            multi_scale_camseg(teacher_fwd, wimg, cfg.pseudo_scales)
+        )
+
+        # ---- pseudo masks + adaptive thresholds (no grad) ----------------
+        cam_src = (cam_ps + cam_aux_ps) / 2 if cfg.use_cammix else cam_ps
+        valid_cam = cam_validation(cam_src, cls_label)
+        valid_cam_aux = cam_validation(cam_aux_ps, cls_label)
+
+        gmm = state.gmm
+        if cfg.usegmm:
+            q, ptr = _update_queue(gmm.queue, gmm.ptr, _gmm_maxrow(valid_cam, cfg.gmmscale))
+            qa, _ = _update_queue(gmm.queue_aux, gmm.ptr, _gmm_maxrow(valid_cam_aux, cfg.gmmscale))
+            lo, hi = gmm_thresholds(q, cfg.gmmfilter_thre, 3, cfg.gmm_em_iters)
+            lo_a, hi_a = gmm_thresholds(qa, cfg.gmmfilter_thre, 3, cfg.gmm_em_iters)
+            d = cfg.gmmemadecay
+            gmm = GMMState(
+                queue=q, queue_aux=qa, ptr=ptr,
+                ema_low=gmm.ema_low * d + lo * (1 - d),
+                ema_high=gmm.ema_high * d + hi * (1 - d),
+                ema_low_aux=gmm.ema_low_aux * d + lo_a * (1 - d),
+                ema_high_aux=gmm.ema_high_aux * d + hi_a * (1 - d),
+            )
+            threlow, threhigh = gmm.ema_low, gmm.ema_high
+            threlow_a, threhigh_a = gmm.ema_low_aux, gmm.ema_high_aux
+        else:
+            threlow, threhigh = cfg.low_thre, cfg.high_thre
+            threlow_a, threhigh_a = cfg.low_thre_aux, cfg.high_thre_aux
+
+        images01 = denormalize01(simg) if cfg.usepar else None
+        mask_kwargs = dict(
+            img_box=img_box,
+            cls_labels=cls_label,
+            downscale=cfg.par_downscale,
+            ignore_index=cfg.ignore_index,
+            refine_fn=refine_fn,
+            images=images01,
+        )
+        refine_mask = cam2mask(
+            cams=valid_cam, threshold_high=threhigh, threshold_low=threlow,
+            **mask_kwargs,
+        )
+        if cfg.aux_cam2seg:
+            refine_mask_aux = cam2mask(
+                cams=valid_cam_aux, threshold_high=threhigh_a,
+                threshold_low=threlow_a, **mask_kwargs,
+            )
+
+        # soft CAM targets from teacher seg (main.py:226-227)
+        valid_seg_ps = seg_refine_by_label(
+            seg_ps, cls_label, softmaxtemp=cfg.seg_softmaxtemp,
+            after_softmax=cfg.after_softmax,
+        )
+
+        # ---- student loss -------------------------------------------------
+        def loss_fn(params):
+            out = model.apply({"params": params}, simg, detach=cfg.detach)
+            cls_loss = multilabel_soft_margin(out["cls"], cls_label)
+            cls_aux_loss = multilabel_soft_margin(out["cls_aux"], cls_label)
+
+            seg_pred = resize_bilinear(out["seg"], (h, w))
+            sl = seg_loss(seg_pred, refine_mask, fg_alpha=cfg.segfg_alpha,
+                          ignore_index=cfg.ignore_index)
+            if cfg.aux_cam2seg:
+                sl_aux = seg_loss(seg_pred, refine_mask_aux,
+                                  fg_alpha=cfg.segfg_alpha,
+                                  ignore_index=cfg.ignore_index)
+                sl = (1 - cfg.aux_cam2seg_alpha) * sl + cfg.aux_cam2seg_alpha * sl_aux
+
+            reg = get_energy_loss(
+                simg, seg_pred, refine_mask, img_box,
+                weight=cfg.energy_weight,
+                sigma_rgb=cfg.energy_sigma_rgb,
+                sigma_xy=cfg.energy_sigma_xy,
+                scale_factor=cfg.energy_scale,
+                filter_kind=cfg.energy_filter,
+                rff_features=cfg.energy_rff_features,
+                ignore_index=cfg.ignore_index,
+            )
+
+            cl = camloss_fn(out["cam"], valid_seg_ps)
+            if cfg.aux_seg2cam:
+                cl_aux = camloss_fn(out["cam_aux"], valid_seg_ps)
+                cl = (1 - cfg.aux_seg2cam_alpha) * cl + cfg.aux_seg2cam_alpha * cl_aux
+
+            # warmup gating (main.py:240-243)
+            gate = jnp.where(state.step <= cfg.warmup_iters, 0.0, 1.0)
+            total = (
+                cls_loss
+                + cls_aux_loss
+                + gate * (cfg.seg_weight * sl + cfg.cam_weight * cl + cfg.reg_weight * reg)
+            )
+            metrics = dict(
+                overall_loss=total,
+                cls_loss=cls_loss,
+                cls_aux_loss=cls_aux_loss,
+                seg_loss=sl,
+                cam_loss=cl,
+                reg_loss=reg,
+                cls_logits=out["cls"],
+                cls_aux_logits=out["cls_aux"],
+            )
+            return total, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.student)
+        updates, new_opt = tx.update(grads, state.opt_state, state.student)
+        new_student = jax.tree.map(lambda p, u: p + u, state.student, updates)
+
+        # EMA teacher (main.py:250-252), f32
+        m = cfg.momentum
+        new_teacher = jax.tree.map(
+            lambda t, s: m * t + (1.0 - m) * s.astype(t.dtype),
+            state.teacher,
+            new_student,
+        )
+        metrics["lr"] = _current_lr(cfg, state.step)
+        metrics["thre_low"] = jnp.asarray(threlow, jnp.float32)
+        metrics["thre_high"] = jnp.asarray(threhigh, jnp.float32)
+        new_state = TrainState(
+            step=state.step + 1,
+            student=new_student,
+            teacher=new_teacher,
+            opt_state=new_opt,
+            gmm=gmm,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def _current_lr(cfg, step):
+    from cosa_tpu.train.optimizer import poly_warmup_schedule
+
+    return poly_warmup_schedule(
+        cfg.lr, cfg.lr_warmup_iters, cfg.max_iters, 1e-6, 0.9, cfg.min_mult
+    )(step)

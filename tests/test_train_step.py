@@ -1,0 +1,123 @@
+"""End-to-end train-step smoke tests on the virtual 8-device CPU mesh:
+dp=8 batch sharding, dp=4 x tp=2 tensor sharding, GMM/PAR variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosa_tpu.config import preset_config
+from cosa_tpu.models import build_model
+from cosa_tpu.parallel import batch_sharding, make_mesh, state_sharding
+from cosa_tpu.train import build_optimizer, build_train_step, create_train_state
+
+RNG = np.random.default_rng(0)
+
+
+def _cfg(**kw):
+    return preset_config(
+        "synthetic",
+        backbone="vit_tiny_test",
+        mixed_precision=False,
+        flash_attention=False,
+        energy_rff_features=64,
+        **kw,
+    )
+
+
+def _batch(cfg, n):
+    s = cfg.crop_size
+    return dict(
+        wimg=RNG.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        simg=RNG.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        cls_label=(RNG.random((n, cfg.num_classes - 1)) > 0.8).astype(np.float32),
+        img_box=np.tile(np.array([[4, 60, 2, 62]], np.int32), (n, 1)),
+    )
+
+
+def _run_steps(cfg, mesh, n_steps=3):
+    model = build_model(cfg)
+    gbatch = cfg.batch_size * mesh.shape["data"]
+    state = create_train_state(cfg, model, gbatch)
+    tx = build_optimizer(cfg, state.student)
+    step = build_train_step(cfg, model, tx)
+
+    st_shard = state_sharding(state, mesh)
+    state = jax.device_put(state, st_shard)
+    jstep = jax.jit(step, donate_argnums=0)
+
+    batch = jax.device_put(_batch(cfg, gbatch), batch_sharding(mesh))
+    metrics = None
+    for _ in range(n_steps):
+        state, metrics = jstep(state, batch)
+    return state, metrics
+
+
+def test_train_step_dp8():
+    cfg = _cfg()
+    mesh = make_mesh(dp=8, tp=1)
+    state, metrics = _run_steps(cfg, mesh)
+    assert int(state.step) == 3
+    for k in ("overall_loss", "cls_loss", "seg_loss", "cam_loss", "reg_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_train_step_tp2():
+    cfg = _cfg()
+    mesh = make_mesh(dp=4, tp=2)
+    state, metrics = _run_steps(cfg, mesh)
+    assert np.isfinite(float(metrics["overall_loss"]))
+
+
+def test_warmup_gates_aux_losses():
+    """During warmup total == cls + cls_aux exactly (main.py:240-241)."""
+    cfg = _cfg(warmup_iters=100)
+    mesh = make_mesh(dp=8, tp=1)
+    _, metrics = _run_steps(cfg, mesh, n_steps=1)
+    total = float(metrics["overall_loss"])
+    parts = float(metrics["cls_loss"]) + float(metrics["cls_aux_loss"])
+    assert abs(total - parts) < 1e-6
+
+
+def test_ema_teacher_moves_toward_student():
+    cfg = _cfg(momentum=0.5)
+    mesh = make_mesh(dp=8, tp=1)
+    model = build_model(cfg)
+    state0 = create_train_state(cfg, model, cfg.batch_size * 8)
+    tx = build_optimizer(cfg, state0.student)
+    step = jax.jit(build_train_step(cfg, model, tx))
+    batch = jax.device_put(_batch(cfg, cfg.batch_size * 8), batch_sharding(mesh))
+    state1, _ = step(state0, batch)
+
+    t0 = state0.teacher["classifier"]
+    s1 = state1.student["classifier"]
+    expect = 0.5 * t0 + 0.5 * s1
+    np.testing.assert_allclose(
+        np.asarray(state1.teacher["classifier"]), np.asarray(expect),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_frozen_pos_embed_never_updates():
+    cfg = _cfg()
+    mesh = make_mesh(dp=8, tp=1)
+    model = build_model(cfg)
+    state0 = create_train_state(cfg, model, cfg.batch_size * 8)
+    pos0 = np.asarray(state0.student["encoder"]["pos_embed"])
+    tx = build_optimizer(cfg, state0.student)
+    step = jax.jit(build_train_step(cfg, model, tx))
+    batch = jax.device_put(_batch(cfg, cfg.batch_size * 8), batch_sharding(mesh))
+    state, _ = step(state0, batch)
+    state, _ = step(state, batch)
+    np.testing.assert_array_equal(np.asarray(state.student["encoder"]["pos_embed"]), pos0)
+
+
+@pytest.mark.parametrize("flag", ["usegmm", "usepar"])
+def test_optional_subsystems(flag):
+    cfg = _cfg(**{flag: True, "gmm_em_iters": 10, "par_iters": 2})
+    mesh = make_mesh(dp=8, tp=1)
+    state, metrics = _run_steps(cfg, mesh, n_steps=2)
+    assert np.isfinite(float(metrics["overall_loss"]))
+    if flag == "usegmm":
+        assert int(state.gmm.ptr) == 2 * cfg.batch_size * 8 % state.gmm.queue.shape[0]
+        assert 0.0 <= float(metrics["thre_low"]) <= 1.5
