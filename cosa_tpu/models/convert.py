@@ -1,0 +1,117 @@
+"""Torch-checkpoint -> params converter.
+
+Maps either a timm ``jx_vit_base_p16_224`` ImageNet state_dict (what the
+reference downloads, models/vit/vit.py:366-377) or a released CoSA
+``best_seg.pth``/``best_cam.pth`` VITNetwork state_dict
+(utils/torch_helper.py:101-117) onto this package's flax parameter tree, for
+weight-level parity evaluation and pretrained initialization.
+
+Layout mapping (torch -> flax):
+  patch_embed.proj.weight (D,3,P,P)   -> encoder/patch_embed/kernel (P,P,3,D)
+  blocks.N.attn.qkv.weight (3D,D)     -> encoder/blocks_N/attn/qkv/kernel (D,3D)
+  blocks.N.norm*.weight/bias          -> .../norm*/scale,bias
+  decoder.convK.weight (O,I,3,3)      -> decoder/convK/kernel (3,3,I,O)
+  classifier.weight (C-1,D,1,1)       -> classifier (D,C-1)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    try:
+        return np.asarray(w.detach().cpu().numpy(), np.float32)
+    except AttributeError:
+        return np.asarray(w, np.float32)
+
+
+def encoder_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
+    """ViT encoder subtree from a timm/CoSA torch state_dict (keys without
+    the 'encoder.' prefix)."""
+    p: Dict[str, Any] = {}
+    p["patch_embed"] = {
+        "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+        "bias": _t(sd["patch_embed.proj.bias"]),
+    }
+    p["cls_token"] = _t(sd["cls_token"])
+    p["pos_embed"] = _t(sd["pos_embed"])
+    for i in range(depth):
+        b = f"blocks.{i}."
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": _t(sd[b + "norm1.weight"]), "bias": _t(sd[b + "norm1.bias"])},
+            "norm2": {"scale": _t(sd[b + "norm2.weight"]), "bias": _t(sd[b + "norm2.bias"])},
+            "attn": {
+                "qkv": {
+                    "kernel": _t(sd[b + "attn.qkv.weight"]).T,
+                    **(
+                        {"bias": _t(sd[b + "attn.qkv.bias"])}
+                        if b + "attn.qkv.bias" in sd
+                        else {}
+                    ),
+                },
+                "proj": {
+                    "kernel": _t(sd[b + "attn.proj.weight"]).T,
+                    "bias": _t(sd[b + "attn.proj.bias"]),
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": _t(sd[b + "mlp.fc1.weight"]).T, "bias": _t(sd[b + "mlp.fc1.bias"])},
+                "fc2": {"kernel": _t(sd[b + "mlp.fc2.weight"]).T, "bias": _t(sd[b + "mlp.fc2.bias"])},
+            },
+        }
+    p["norm"] = {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])}
+    return p
+
+
+def network_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
+    """Full CoSANetwork tree from a VITNetwork state_dict (reference
+    models/__init__.py:82-124 layout)."""
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+    out: Dict[str, Any] = {"encoder": encoder_params_from_torch(enc_sd, depth)}
+    if "decoder.conv6.weight" in sd:  # LargeFOV
+        out["decoder"] = {
+            f"conv{i}": {"kernel": _t(sd[f"decoder.conv{i}.weight"]).transpose(2, 3, 1, 0)}
+            for i in (6, 7, 8)
+        }
+    out["classifier"] = _t(sd["classifier.weight"])[:, :, 0, 0].T
+    out["aux_classifier"] = _t(sd["aux_classifier.weight"])[:, :, 0, 0].T
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj:  # CoSA best_*.pth container
+        return obj["model"]
+    return obj
+
+
+def _merge(dst: Dict, src: Dict) -> Dict:
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_pretrained_into_state(cfg, state):
+    """Overlay a torch checkpoint on student AND teacher (both reference
+    networks are built with the same pretrained backbone, main.py:45-46)."""
+    sd = load_torch_checkpoint(cfg.pretrained_path)
+    keys = set(sd.keys())
+    from cosa_tpu.models.vit import BACKBONES
+
+    depth = BACKBONES[cfg.backbone].depth
+    if any(k.startswith("encoder.") for k in keys):
+        overlay = network_params_from_torch(sd, depth)
+    else:
+        overlay = {"encoder": encoder_params_from_torch(sd, depth)}
+    new_student = _merge(state.student, overlay)
+    new_teacher = _merge(state.teacher, overlay)
+    return state.replace(student=new_student, teacher=new_teacher)

@@ -1,0 +1,240 @@
+"""Training driver — the functional twin of reference main.py:24-399.
+
+Differences by design:
+  * no DDP wrapper / barriers: the step is one jit over the mesh;
+  * metrics stay on device between log points (async dispatch — pulling a
+    scalar every step would serialize the pipeline the way the reference's
+    .item() calls do, main.py:259-268);
+  * full-state checkpointing + resume (the reference has neither);
+  * best-seg / best-cam model selection across student AND teacher follows
+    main.py:348-374 exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosa_tpu.config import Config, diff_from_preset
+from cosa_tpu.data.loader import build_train_loader, build_val_dataset
+from cosa_tpu.eval.engine import evaluate
+from cosa_tpu.eval.metrics import compute_mAP
+from cosa_tpu.models import build_model
+from cosa_tpu.parallel import batch_sharding, make_mesh, state_sharding
+from cosa_tpu.train import checkpoint as ckpt
+from cosa_tpu.train.optimizer import build_optimizer
+from cosa_tpu.train.state import create_train_state
+from cosa_tpu.train.step import build_train_step
+from cosa_tpu.utils.logging import (
+    AverageMeter,
+    MetricWriter,
+    eta_string,
+    format_iou_table,
+    is_host0,
+)
+from cosa_tpu.data.datasets import class_list
+
+
+def output_dir(cfg: Config) -> str:
+    return cfg.output_dir or os.path.join(cfg.work_dir, cfg.name)
+
+
+def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
+    out_dir = output_dir(cfg)
+    writer = MetricWriter(out_dir)
+    writer.print(f"config diff vs {cfg.dataset} preset:", diff_from_preset(cfg))
+
+    mesh = make_mesh(cfg.dp, cfg.tp)
+    writer.print(
+        f"mesh: data={mesh.shape['data']} model={mesh.shape['model']} "
+        f"({jax.device_count()} devices, {jax.process_count()} processes)"
+    )
+    model = build_model(cfg)
+    global_batch = cfg.batch_size * mesh.shape["data"]
+
+    state = create_train_state(cfg, model, global_batch)
+    if cfg.pretrained and cfg.pretrained_path:
+        from cosa_tpu.models.convert import load_pretrained_into_state
+
+        state = load_pretrained_into_state(cfg, state)
+        writer.print(f"loaded pretrained weights from {cfg.pretrained_path}")
+
+    tx = build_optimizer(cfg, state.student)
+    step_fn = jax.jit(build_train_step(cfg, model, tx), donate_argnums=0)
+    state = jax.device_put(state, state_sharding(state, mesh))
+
+    start_step = 0
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    if cfg.resume:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state = ckpt.restore_state(cfg.resume, abstract)
+        state = jax.device_put(state, state_sharding(state, mesh))
+        start_step = int(state.step)
+        writer.print(f"resumed from {cfg.resume} at step {start_step}")
+
+    per_process = global_batch // jax.process_count()
+    loader = build_train_loader(cfg, per_process)
+    val_ds = build_val_dataset(cfg)
+    bshard = batch_sharding(mesh)
+
+    n_params = sum(x.size for x in jax.tree.leaves(state.student))
+    writer.print(f"Number of trainable params for Network: {n_params//1_000_000}M")
+
+    meter = AverageMeter()
+    pending = []  # device-side metric dicts awaiting a log flush
+    best_seg, best_cam = -1.0, -1.0
+    total = min(cfg.max_iters, max_steps or cfg.max_iters)
+    t0 = time.time()
+    t_log = time.time()
+    results = {}
+
+    for n_iter in range(start_step, total):
+        batch = jax.device_put(next(loader), bshard)
+        state, metrics = step_fn(state, batch)
+        pending.append(metrics)
+
+        if (n_iter + 1) % cfg.log_iters == 0:
+            for m in pending:
+                meter.add(
+                    {
+                        k: float(m[k])
+                        for k in (
+                            "overall_loss", "cls_loss", "cls_aux_loss",
+                            "seg_loss", "cam_loss", "reg_loss",
+                        )
+                    }
+                )
+            last = pending[-1]
+            cls_acc = float(np.mean(compute_mAP(
+                np.asarray(batch["cls_label"]),
+                jax.nn.sigmoid(np.asarray(last["cls_logits"], np.float32)),
+            ) or [0.0]))
+            cls_aux_acc = float(np.mean(compute_mAP(
+                np.asarray(batch["cls_label"]),
+                jax.nn.sigmoid(np.asarray(last["cls_aux_logits"], np.float32)),
+            ) or [0.0]))
+            pending = []
+            itertime = (time.time() - t_log) / cfg.log_iters
+            t_log = time.time()
+            elapsed, eta = eta_string(t0, n_iter + 1 - start_step, total - start_step)
+            rec = dict(
+                iter=n_iter + 1,
+                itertime=round(itertime, 3),
+                imgs_per_sec=round(global_batch / itertime, 2),
+                lr=float(last["lr"]),
+                cls_acc=round(cls_acc, 3),
+                cls_aux_acc=round(cls_aux_acc, 3),
+                **{
+                    k: round(meter.pop(k), 4)
+                    for k in (
+                        "overall_loss", "cls_loss", "cls_aux_loss",
+                        "seg_loss", "cam_loss", "reg_loss",
+                    )
+                },
+            )
+            writer.log({"kind": "train", **rec})
+            writer.print(
+                f"Iter: {rec['iter']}; Elapsed: {elapsed}; ETA: {eta}; "
+                f"Itertime: {rec['itertime']:.2f}s ({rec['imgs_per_sec']} img/s); "
+                f"LR: {rec['lr']:.3e};\n overall_loss: {rec['overall_loss']:.4f}, "
+                f"cls_loss: {rec['cls_loss']:.4f}, cls_acc: {rec['cls_acc']:.3f}, "
+                f"cls_aux_loss: {rec['cls_aux_loss']:.4f}, "
+                f"cls_aux_acc: {rec['cls_aux_acc']:.3f}, "
+                f"seg_loss: {rec['seg_loss']:.4f}, cam_loss: {rec['cam_loss']:.4f}, "
+                f"reg_loss: {rec['reg_loss']:.4f}"
+            )
+
+        if (n_iter + 1) % cfg.eval_iters == 0:
+            results, best_seg, best_cam = _run_validation(
+                cfg, model, state, val_ds, writer, n_iter + 1, out_dir,
+                best_seg, best_cam,
+            )
+            ckpt.save_state(ckpt_dir, state, n_iter + 1, cfg.checkpoint_keep)
+
+    loader.close()
+    writer.print(
+        f"Training done in {time.time()-t0:.0f}s. "
+        f"Best val Seg mIoU: {best_seg:.2f} Best val CAM mIoU: {best_cam:.2f}"
+    )
+    results.update(best_seg=best_seg, best_cam=best_cam)
+    return results
+
+
+def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
+                    best_seg, best_cam):
+    cats = class_list(cfg.dataset)[: cfg.num_classes]
+    fast_n = 200 if cfg.fasteval else None
+
+    res_s = evaluate(cfg, model, state.student, val_ds,
+                     threshold_filters=cfg.eval_threshold_filters,
+                     max_images=fast_n)
+    res_t = evaluate(cfg, model, state.teacher, val_ds,
+                     threshold_filters=cfg.eval_threshold_filters,
+                     max_images=fast_n)
+
+    for tag, res in (("ON", res_s), ("AN", res_t)):
+        names = [k for k in res if k not in ("cls_aps",)]
+        tab = format_iou_table([res[k] for k in names], names, cats)
+        writer.print(
+            f"{tag} model @ iter {n_iter}: cls mAP {res['cls_aps'][0]:.3f}, "
+            f"aux {res['cls_aps'][1]:.3f}\n{tab}"
+        )
+        writer.log({
+            "kind": "val", "model": tag, "iter": n_iter,
+            **{k: res[k]["miou"] for k in names},
+        })
+
+    # best-model bookkeeping (reference main.py:348-374): round to 2 decimals,
+    # student wins ties
+    seg_s = round(res_s["Seg_vd"]["miou"] * 100, 2)
+    seg_t = round(res_t["Seg_vd"]["miou"] * 100, 2)
+    cam_s = round(res_s["CAM"]["miou"] * 100, 2)
+    cam_t = round(res_t["CAM"]["miou"] * 100, 2)
+
+    cmp_seg = [seg_s, seg_t, best_seg]
+    win = int(np.argmax(cmp_seg))
+    best_seg = max(cmp_seg)
+    if win != 2 and is_host0():
+        ckpt.save_best(
+            out_dir, state.student if win == 0 else state.teacher, "seg",
+            dict(s_or_t="s" if win == 0 else "t", iter=n_iter, result=best_seg),
+        )
+    cmp_cam = [cam_s, cam_t, best_cam]
+    win = int(np.argmax(cmp_cam))
+    best_cam = max(cmp_cam)
+    if win != 2 and is_host0():
+        ckpt.save_best(
+            out_dir, state.student if win == 0 else state.teacher, "cam",
+            dict(s_or_t="s" if win == 0 else "t", iter=n_iter, result=best_cam),
+        )
+    return {"student": res_s, "teacher": res_t}, best_seg, best_cam
+
+
+def finaleval(cfg: Config) -> Dict:
+    """Reference finaleval (main.py:401-433): reload best_seg weights, full
+    val split, CRF on."""
+    out_dir = output_dir(cfg)
+    writer = MetricWriter(out_dir)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, cfg.batch_size)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.student
+    )
+    params = ckpt.load_best(out_dir, "seg", abstract)
+    from cosa_tpu.data.loader import build_test_dataset
+
+    test_ds = build_test_dataset(cfg)
+    res = evaluate(cfg, model, params, test_ds, getcrf=True)
+    cats = class_list(cfg.dataset)[: cfg.num_classes]
+    names = [k for k in res if k != "cls_aps"]
+    writer.print("Final Model Result:\n" + format_iou_table(
+        [res[k] for k in names], names, cats))
+    writer.log({"kind": "final", **{k: res[k]["miou"] for k in names}})
+    return res

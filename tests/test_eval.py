@@ -1,0 +1,54 @@
+"""Eval engine + metrics tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cosa_tpu.config import preset_config
+from cosa_tpu.data.loader import build_val_dataset
+from cosa_tpu.eval import evaluate
+from cosa_tpu.eval.metrics import fast_hist, jax_hist, scores, scores_from_hist
+from cosa_tpu.models import build_model
+from cosa_tpu.train import create_train_state
+
+RNG = np.random.default_rng(0)
+
+
+def test_jax_hist_matches_numpy_fast_hist():
+    gt = RNG.integers(0, 21, size=(3, 37, 41)).astype(np.int32)
+    gt[0, :5] = 255  # ignore
+    pred = RNG.integers(0, 21, size=(3, 37, 41)).astype(np.int32)
+    ref = fast_hist(gt.flatten(), pred.flatten(), 21)
+    ours = np.asarray(jax_hist(jnp.asarray(gt), jnp.asarray(pred), 21))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_scores_match_reference_formula():
+    gt = [RNG.integers(0, 5, size=(16, 16)).astype(np.uint8) for _ in range(4)]
+    pred = [RNG.integers(0, 5, size=(16, 16)).astype(np.uint8) for _ in range(4)]
+    s = scores(gt, pred, 5)
+    hist = sum(fast_hist(g.flatten(), p.flatten(), 5) for g, p in zip(gt, pred))
+    s2 = scores_from_hist(hist)
+    assert s["miou"] == pytest.approx(s2["miou"])
+    assert s["pAcc"] == pytest.approx(s2["pAcc"])
+
+
+def test_evaluate_synthetic_end_to_end():
+    """Full eval path on synthetic data with a tiny random model: metrics
+    exist, are in [0, 1], hists consistent."""
+    cfg = preset_config(
+        "synthetic",
+        backbone="vit_tiny_test",
+        crop_size=64,
+        mixed_precision=False,
+        flash_attention=False,
+        eval_scales=(1.0, 0.5),
+    )
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    ds = build_val_dataset(cfg)
+    out = evaluate(cfg, model, state.student, ds, max_images=4)
+    for k in ("CAM", "aux_CAM", "Seg_ps", "Seg_vd"):
+        assert 0.0 <= out[k]["miou"] <= 1.0
+        assert 0.0 <= out[k]["pAcc"] <= 1.0
+    assert len(out["cls_aps"]) == 2

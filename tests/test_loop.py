@@ -1,0 +1,74 @@
+"""Training-driver integration test: a short synthetic run with one
+validation + best-checkpoint save, then resume from the saved state."""
+
+import os
+
+import numpy as np
+
+from cosa_tpu.config import preset_config
+
+
+def _cfg(tmp, **kw):
+    base = dict(
+        backbone="vit_tiny_test",
+        mixed_precision=False,
+        flash_attention=False,
+        energy_rff_features=64,
+        eval_scales=(1.0, 0.5),
+        pseudo_scales=(1.0, 0.5),
+        max_iters=6,
+        eval_iters=3,
+        log_iters=2,
+        warmup_iters=2,
+        lr_warmup_iters=2,
+        fasteval=True,
+        finalval=False,
+        output_dir=str(tmp),
+        num_workers=2,
+    )
+    base.update(kw)
+    return preset_config("synthetic", **base)
+
+
+def test_short_training_run_with_eval_and_resume(tmp_path):
+    from cosa_tpu.train.loop import train
+
+    cfg = _cfg(tmp_path / "run1")
+    # monkeypatch fasteval to 4 images for speed
+    import cosa_tpu.train.loop as loop_mod
+
+    orig = loop_mod._run_validation
+
+    def fast_val(cfg, model, state, val_ds, writer, n_iter, out_dir, bs, bc):
+        from cosa_tpu.eval.engine import evaluate
+        from cosa_tpu.train import checkpoint as ckpt
+        res = evaluate(cfg, model, state.student, val_ds, max_images=2)
+        ckpt.save_best(out_dir, state.student, "seg",
+                       dict(s_or_t="s", iter=n_iter, result=1.0))
+        return {"student": res}, max(bs, 1.0), max(bc, 1.0)
+
+    loop_mod._run_validation = fast_val
+    try:
+        results = train(cfg)
+    finally:
+        loop_mod._run_validation = orig
+
+    out = str(tmp_path / "run1")
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "ckpt"))
+    assert os.path.exists(os.path.join(out, "best_seg"))
+    assert results["best_seg"] >= 0
+
+    # resume from the saved full state: should continue at step 6 with 2 more
+    cfg2 = _cfg(
+        tmp_path / "run2",
+        resume=os.path.join(out, "ckpt"),
+        max_iters=8,
+    )
+    loop_mod._run_validation = fast_val
+    try:
+        train(cfg2)
+    finally:
+        loop_mod._run_validation = orig
+    lines = open(os.path.join(str(tmp_path / "run2"), "metrics.jsonl")).read()
+    assert '"iter": 8' in lines
