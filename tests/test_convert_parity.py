@@ -1,0 +1,161 @@
+"""Golden parity: CoSANetwork with converted torch weights must reproduce a
+torch oracle of the reference VITNetwork forward (models/vit/vit.py +
+models/__init__.py:163-206) to float tolerance.
+
+The torch oracle below restates the published ViT-B architecture exactly as
+the reference configures it (qkv_bias, LN eps 1e-6, frozen pos-embed with
+bicubic resize, aux tap, LargeFOV decoder, bias-free 1x1 CAM convs, max-pool
+cls heads)."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.models import CoSANetwork
+from cosa_tpu.models.convert import network_params_from_torch
+from cosa_tpu.models.vit import BACKBONES
+
+CFG = BACKBONES["vit_tiny_test"]  # dim 64, depth 3, heads 4, base 64
+NUM_CLASSES = 6
+AUX_LAYER = -2
+
+
+def _torch_state_dict(rng):
+    d, depth, mlp = CFG.embed_dim, CFG.depth, int(CFG.embed_dim * CFG.mlp_ratio)
+    gs = CFG.base_img_size // CFG.patch_size
+
+    def t(*shape):
+        return torch.from_numpy(rng.standard_normal(shape).astype(np.float32) * 0.05)
+
+    sd = {
+        "encoder.patch_embed.proj.weight": t(d, 3, 16, 16),
+        "encoder.patch_embed.proj.bias": t(d),
+        "encoder.cls_token": t(1, 1, d),
+        "encoder.pos_embed": t(1, gs * gs + 1, d),
+        "encoder.norm.weight": 1 + 0.1 * t(d),
+        "encoder.norm.bias": t(d),
+        "decoder.conv6.weight": t(512, d, 3, 3),
+        "decoder.conv7.weight": t(512, 512, 3, 3),
+        "decoder.conv8.weight": t(NUM_CLASSES, 512, 1, 1),
+        "classifier.weight": t(NUM_CLASSES - 1, d, 1, 1),
+        "aux_classifier.weight": t(NUM_CLASSES - 1, d, 1, 1),
+    }
+    for i in range(depth):
+        b = f"encoder.blocks.{i}."
+        sd.update({
+            b + "norm1.weight": 1 + 0.1 * t(d), b + "norm1.bias": t(d),
+            b + "norm2.weight": 1 + 0.1 * t(d), b + "norm2.bias": t(d),
+            b + "attn.qkv.weight": t(3 * d, d), b + "attn.qkv.bias": t(3 * d),
+            b + "attn.proj.weight": t(d, d), b + "attn.proj.bias": t(d),
+            b + "mlp.fc1.weight": t(mlp, d), b + "mlp.fc1.bias": t(mlp),
+            b + "mlp.fc2.weight": t(d, mlp), b + "mlp.fc2.bias": t(d),
+        })
+    return sd
+
+
+def _torch_forward(sd, x):
+    """Oracle forward (NCHW), following vit.py:283-321 + __init__.py:163-206."""
+    d, depth, heads = CFG.embed_dim, CFG.depth, CFG.num_heads
+    gs = CFG.base_img_size // CFG.patch_size
+    B, _, H, W = x.shape
+    h, w = H // 16, W // 16
+
+    tok = F.conv2d(x, sd["encoder.patch_embed.proj.weight"],
+                   sd["encoder.patch_embed.proj.bias"], stride=16)
+    tok = tok.flatten(2).transpose(1, 2)  # (B, N, D)
+
+    pos = sd["encoder.pos_embed"]
+    patch_pos = pos[:, 1:, :].reshape(1, gs, gs, -1).permute(0, 3, 1, 2)
+    patch_pos = F.interpolate(patch_pos, size=(h, w), mode="bicubic",
+                              align_corners=False)
+    patch_pos = patch_pos.reshape(1, -1, h * w).permute(0, 2, 1)
+    pos = torch.cat((pos[:, :1, :], patch_pos), dim=1)
+
+    cls_tok = sd["encoder.cls_token"].expand(B, -1, -1)
+    tok = torch.cat((cls_tok, tok), dim=1) + pos
+
+    def ln(x, wk, bk):
+        return F.layer_norm(x, (d,), sd[wk], sd[bk], eps=1e-6)
+
+    embeds = []
+    for i in range(depth):
+        b = f"encoder.blocks.{i}."
+        y = ln(tok, b + "norm1.weight", b + "norm1.bias")
+        qkv = F.linear(y, sd[b + "attn.qkv.weight"], sd[b + "attn.qkv.bias"])
+        Bn, N, _ = y.shape
+        qkv = qkv.reshape(Bn, N, 3, heads, d // heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (d // heads) ** -0.5
+        attn = attn.softmax(dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(Bn, N, d)
+        tok = tok + F.linear(o, sd[b + "attn.proj.weight"], sd[b + "attn.proj.bias"])
+        y = ln(tok, b + "norm2.weight", b + "norm2.bias")
+        y = F.linear(y, sd[b + "mlp.fc1.weight"], sd[b + "mlp.fc1.bias"])
+        y = F.gelu(y)
+        y = F.linear(y, sd[b + "mlp.fc2.weight"], sd[b + "mlp.fc2.bias"])
+        tok = tok + y
+        embeds.append(tok)
+    tokn = ln(tok, "encoder.norm.weight", "encoder.norm.bias")
+    embeds[-1] = tokn
+    _x = tokn[:, 1:]
+    x_aux = embeds[AUX_LAYER][:, 1:]
+
+    to2d = lambda t: t.transpose(1, 2).reshape(B, d, h, w)
+    _x4, _x_aux = to2d(_x), to2d(x_aux)
+
+    s = F.relu(F.conv2d(_x4, sd["decoder.conv6.weight"], padding=5, dilation=5))
+    s = F.relu(F.conv2d(s, sd["decoder.conv7.weight"], padding=5, dilation=5))
+    seg = F.conv2d(s, sd["decoder.conv8.weight"])
+
+    cam = F.conv2d(_x4, sd["classifier.weight"])
+    cam_aux = F.conv2d(_x_aux, sd["aux_classifier.weight"])
+    cls = F.conv2d(F.adaptive_max_pool2d(_x4, (1, 1)), sd["classifier.weight"])
+    cls_aux = F.conv2d(F.adaptive_max_pool2d(_x_aux, (1, 1)),
+                       sd["aux_classifier.weight"])
+    return dict(
+        cls=cls.flatten(1), cls_aux=cls_aux.flatten(1),
+        seg=seg, cam=cam, cam_aux=cam_aux,
+    )
+
+
+@pytest.mark.parametrize("size", [64, 96])
+def test_forward_parity_with_torch_oracle(size):
+    rng = np.random.default_rng(0)
+    sd = _torch_state_dict(rng)
+    x = rng.standard_normal((2, 3, size, size)).astype(np.float32)
+
+    ref = _torch_forward(sd, torch.from_numpy(x))
+
+    model = CoSANetwork(
+        num_classes=NUM_CLASSES, backbone="vit_tiny_test", decoder="LargeFOV",
+        aux_layer=AUX_LAYER,
+    )
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    params = network_params_from_torch(
+        {k: v for k, v in sd.items()}, depth=CFG.depth
+    )
+    # structures must match exactly (same keys)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(init["params"])[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths, ref_paths ^ got_paths
+
+    out = model.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)))
+
+    for key, ours_key in (("cls", "cls"), ("cls_aux", "cls_aux")):
+        np.testing.assert_allclose(
+            np.asarray(out[ours_key]), ref[key].numpy(), rtol=2e-4, atol=2e-4
+        )
+    for key in ("seg", "cam", "cam_aux"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]),
+            np.moveaxis(ref[key].numpy(), 1, -1),
+            rtol=2e-4, atol=2e-4,
+        )
