@@ -61,17 +61,21 @@ def main() -> None:
     )
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    # compile + warmup
+    # compile + warmup. NOTE: under the axon relay block_until_ready does not
+    # synchronize; a host value fetch does. The final scalar depends on the
+    # whole step chain through the donated state, so one fetch at the end of
+    # the timed chain gives the true amortized step time.
     for _ in range(3):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["overall_loss"])
+    float(metrics["overall_loss"])
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["overall_loss"])
+    loss = float(metrics["overall_loss"])
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
 
     imgs_per_sec = global_batch / dt
     print(
