@@ -102,7 +102,7 @@ class Config:
     energy_sigma_xy: float = 100.0
     energy_scale: float = 0.5
     energy_filter: str = "rff"  # rff | exact (test-only)
-    energy_rff_features: int = 2048
+    energy_rff_features: int = 1024
 
     # ---- eval-time CRF ---------------------------------------------------
     # reference: utils/seg_helper.py:989-996
@@ -112,6 +112,7 @@ class Config:
     crf_bi_w: float = 4.0
     crf_bi_xy: float = 121.0
     crf_bi_rgb: float = 5.0
+    crf_reduce: int = 1  # 1 = full-res lattice; >1 = exact matmul at 1/r res
 
     # ---- TPU-specific ----------------------------------------------------
     mixed_precision: bool = True  # bf16 activations/matmuls, f32 params/opt

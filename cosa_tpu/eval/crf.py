@@ -10,11 +10,11 @@ wraps Krähenbühl's C++ (Cython); here the mean-field update
 runs in JAX:
   * the Gaussian (spatial, sigma=1) kernel is EXACT — a separable banded
     matmul at full resolution;
-  * the bilateral kernel (sigma_xy=121, sigma_rgb=5) is evaluated exactly at
-    1/4 resolution in row-chunks (O(N^2/16) on the MXU) with messages
-    upsampled back — sigma_xy=121 makes the message spatially smooth, so the
-    downsampling error is small. A sort-based permutohedral lattice is the
-    planned full-resolution replacement.
+  * the bilateral kernel (sigma_xy=121, sigma_rgb=5) runs through the same
+    permutohedral lattice machinery the reference's pydensecrf uses
+    (ops/permutohedral.py — verified bit-exact against the reference C++
+    lattice), at full resolution by default; ``reduce`` > 1 switches to an
+    exact chunked-matmul evaluation at reduced resolution for speed.
 
 Potts compatibility with weight w matches PottsCompatibility::apply
 (out = -w * in) and symmetric kernel normalization matches the library
@@ -100,23 +100,29 @@ def _crf_padded(
     c = probs_pad.shape[-1]
     log_p = jnp.log(jnp.clip(probs_pad, 1e-8, 1.0))
 
-    # quarter-res bilateral features
     rp = p // reduce
-    img_r = resize_bilinear(img_pad[None], (rp, rp))[0]
-    valid_r = resize_bilinear(valid[None, :, :, None], (rp, rp))[0, :, :, 0]
-    valid_r = (valid_r > 0.5).astype(jnp.float32)
+    img_r = (
+        img_pad if reduce == 1 else resize_bilinear(img_pad[None], (rp, rp))[0]
+    )
     ys = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 0) * reduce
     xs = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 1) * reduce
-    feats = jnp.stack(
-        [xs / bi_xy, ys / bi_xy], axis=-1
-    )
+    feats = jnp.stack([xs / bi_xy, ys / bi_xy], axis=-1)
     feats = jnp.concatenate([feats, img_r / bi_rgb], axis=-1).reshape(rp * rp, 5)
 
-    def bilateral_full(qmap):  # (P, P, C or 1) -> same, via quarter res
-        qr = resize_bilinear(qmap[None], (rp, rp))[0]
-        out = _bilateral_exact_chunked(feats, qr.reshape(rp * rp, -1))
-        out = out.reshape(rp, rp, -1)
-        return resize_bilinear(out[None], (p, p))[0]
+    if reduce == 1:
+        from cosa_tpu.ops.permutohedral import permutohedral_filter
+
+        def bilateral_full(qmap):  # (P, P, C or 1), full-res lattice
+            out = permutohedral_filter(feats, qmap.reshape(p * p, -1))
+            return out.reshape(p, p, -1)
+
+    else:
+
+        def bilateral_full(qmap):  # exact matmul at reduced res
+            qr = resize_bilinear(qmap[None], (rp, rp))[0]
+            out = _bilateral_exact_chunked(feats, qr.reshape(rp * rp, -1))
+            out = out.reshape(rp, rp, -1)
+            return resize_bilinear(out[None], (p, p))[0]
 
     def spatial_full(qmap):
         return _spatial_filter(qmap, pos_xy)
@@ -154,6 +160,6 @@ def crf_refine_host(cfg, img: np.ndarray, probs: np.ndarray) -> np.ndarray:
         float(cfg.crf_bi_w),
         float(cfg.crf_bi_xy),
         float(cfg.crf_bi_rgb),
-        4,
+        int(getattr(cfg, "crf_reduce", 1)),
     )
     return np.asarray(out)[:h, :w]

@@ -36,34 +36,50 @@ from cosa_tpu.ops.image import denormalize_u8
 from cosa_tpu.ops.resize import resize_bilinear, resize_nearest
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed):
-    as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed) * gate
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed,
+                  half):
+    as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed,
+                       half) * gate
     n = seg_roi.shape[0]
     return -jnp.vdot(seg_roi, as_gated) / n
 
 
-def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed):
+def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed, half=False):
     b, h, w, k = seg_roi.shape
     v = seg_roi.reshape(b, h * w, k)
     f = feats.reshape(b, h * w, -1)
     if filter_kind == "exact":
         out = exact_gaussian_filter(f, v)
     elif filter_kind == "rff":
-        out = rff_gaussian_filter(f, v, n_features=rff_features, seed=rff_seed)
+        # fast approximation of the exact Gaussian transform, rescaled to the
+        # lattice's convention (lattice ~= exact / 1.94) so the 1e-7 loss
+        # weight keeps the reference's meaning (tests/test_permutohedral.py)
+        out = (1.0 / 1.94) * rff_gaussian_filter(
+            f, v, n_features=rff_features, seed=rff_seed,
+            dtype=jnp.bfloat16 if half else jnp.float32,
+        )
+    elif filter_kind == "lattice":
+        # exact reference parity: our JAX permutohedral reproduces the
+        # reference C++ output to 0 rel. error (tests/test_permutohedral.py)
+        from cosa_tpu.ops.permutohedral import permutohedral_filter
+
+        out = jax.vmap(permutohedral_filter)(f, v)
     else:
         raise ValueError(filter_kind)
     return out.reshape(b, h, w, k)
 
 
-def _dense_energy_fwd(seg_roi, feats, gate, filter_kind, rff_features, rff_seed):
-    as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed) * gate
+def _dense_energy_fwd(seg_roi, feats, gate, filter_kind, rff_features, rff_seed,
+                      half):
+    as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed,
+                       half) * gate
     n = seg_roi.shape[0]
     loss = -jnp.vdot(seg_roi, as_gated) / n
     return loss, (as_gated, n)
 
 
-def _dense_energy_bwd(filter_kind, rff_features, rff_seed, res, g):
+def _dense_energy_bwd(filter_kind, rff_features, rff_seed, half, res, g):
     # reference gradient convention (seg_helper.py:898-903): -2 g AS_gated / N.
     # (The ROI factor is implicit: seg_roi = probs * ROI upstream, so the ROI
     # product is applied by the chain rule through that multiply.)
@@ -84,9 +100,10 @@ def get_energy_loss(
     sigma_xy: float = 100.0,
     scale_factor: float = 0.5,
     filter_kind: str = "rff",
-    rff_features: int = 256,
+    rff_features: int = 1024,
     rff_seed: int = 0,
     ignore_index: int = 255,
+    half: bool = False,
 ) -> jnp.ndarray:
     """img: normalized NHWC; seg_logits: (B, H, W, C) at label resolution;
     label: (B, H, W) pseudo mask; img_box: (B, 4)."""
@@ -110,5 +127,5 @@ def get_energy_loss(
     feats = pixel_features(s_img, sigma_rgb, sigma_xy * scale_factor)
     feats = jax.lax.stop_gradient(feats)
     gate = jax.lax.stop_gradient(gate)
-    loss = _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed)
+    loss = _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed, half)
     return weight * loss

@@ -65,12 +65,19 @@ def _rff_params(n_features: int, dim: int, seed: int) -> Tuple[np.ndarray, np.nd
 
 
 def rff_embed(
-    features: jnp.ndarray, n_features: int = 256, seed: int = 0
+    features: jnp.ndarray, n_features: int = 256, seed: int = 0,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """(..., dim) features -> (..., D) random Fourier embedding."""
+    """(..., dim) features -> (..., D) random Fourier embedding.
+
+    The cos over the (N, D) projection is the cost center (VPU
+    transcendentals, not MXU flops), so the embedding supports bf16: the
+    phase is computed in f32 (phases span ~tens of radians — bf16's 8-bit
+    mantissa would alias them) and only the cosine output is stored reduced.
+    """
     w, b = _rff_params(n_features, features.shape[-1], seed)
-    proj = features @ jnp.asarray(w) + jnp.asarray(b)
-    return jnp.sqrt(2.0 / n_features) * jnp.cos(proj)
+    proj = features.astype(jnp.float32) @ jnp.asarray(w) + jnp.asarray(b)
+    return (jnp.sqrt(2.0 / n_features) * jnp.cos(proj)).astype(dtype)
 
 
 def rff_gaussian_filter(
@@ -78,14 +85,24 @@ def rff_gaussian_filter(
     values: jnp.ndarray,
     n_features: int = 256,
     seed: int = 0,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """AS ~= G @ values with G_ij = exp(-||f_i-f_j||^2/2).
 
-    features: (B, N, dim); values: (B, N, K). Returns (B, N, K).
+    features: (B, N, dim); values: (B, N, K). Returns (B, N, K) f32.
+    ``dtype`` controls the embedding/matmul precision (bf16 halves the HBM
+    traffic of the (N, D) embedding; the result accumulates in f32).
     """
-    phi = rff_embed(features, n_features, seed)  # (B, N, D)
-    coeff = jnp.einsum("bnd,bnk->bdk", phi, values)
-    return jnp.einsum("bnd,bdk->bnk", phi, coeff)
+    phi = rff_embed(features, n_features, seed, dtype)  # (B, N, D)
+    coeff = jnp.einsum(
+        "bnd,bnk->bdk", phi, values.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "bnd,bdk->bnk", phi, coeff.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32)
 
 
 def exact_gaussian_filter(features: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:

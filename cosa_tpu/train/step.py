@@ -166,6 +166,7 @@ def build_train_step(
                 filter_kind=cfg.energy_filter,
                 rff_features=cfg.energy_rff_features,
                 ignore_index=cfg.ignore_index,
+                half=cfg.mixed_precision,
             )
 
             cl = camloss_fn(out["cam"], valid_seg_ps)

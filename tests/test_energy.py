@@ -52,9 +52,34 @@ def test_rff_energy_close_to_exact_energy():
     feats = pixel_features(img, 15.0, 50.0)
     seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
     gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
-    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0))
-    e_rff = float(_dense_energy(seg_roi, feats, gate, "rff", 4096, 0))
+    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0, False))
+    # the rff path is rescaled to the reference lattice's convention
+    # (lattice ~= exact / 1.94)
+    e_rff = float(_dense_energy(seg_roi, feats, gate, "rff", 4096, 0, False)) * 1.94
     assert abs(e_rff - e_exact) / abs(e_exact) < 0.1
+
+
+def test_lattice_energy_matches_exact_up_to_convention():
+    img = jnp.asarray(_natural_image(16, 16))
+    feats = pixel_features(img, 15.0, 50.0)
+    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
+    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
+    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0, False))
+    e_lat = float(_dense_energy(seg_roi, feats, gate, "lattice", 0, 0, False))
+    ratio = e_lat / e_exact
+    assert 0.43 < ratio < 0.62, ratio  # 1/1.94 lattice convention + approx error
+
+
+def test_rff_energy_close_to_lattice_energy():
+    """The two production filter options must agree with each other (both in
+    the reference lattice's convention)."""
+    img = jnp.asarray(_natural_image(16, 16))
+    feats = pixel_features(img, 15.0, 50.0)
+    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
+    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
+    e_lat = float(_dense_energy(seg_roi, feats, gate, "lattice", 0, 0, False))
+    e_rff = float(_dense_energy(seg_roi, feats, gate, "rff", 4096, 0, False))
+    assert abs(e_rff - e_lat) / abs(e_lat) < 0.15
 
 
 def test_custom_gradient_convention():
@@ -65,7 +90,7 @@ def test_custom_gradient_convention():
     seg_roi = jnp.asarray(RNG.random((1, 16, 16, 3)), jnp.float32)
     gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
 
-    g = jax.grad(lambda s: _dense_energy(s, feats, gate, "exact", 0, 0))(seg_roi)
+    g = jax.grad(lambda s: _dense_energy(s, feats, gate, "exact", 0, 0, False))(seg_roi)
     as_gated = _filter(seg_roi, feats, "exact", 0, 0) * gate
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(-2.0 * as_gated / 1), rtol=1e-5, atol=1e-6
