@@ -54,7 +54,8 @@ def _pad_matrix(in_size: int, out_size: int, pad: int) -> np.ndarray:
     return m
 
 
-def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...]):
+def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
+                     return_maps: bool = False):
     n = cfg.num_classes
     s = cfg.crop_size
 
@@ -119,6 +120,8 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...]):
         probs_aux = jax.nn.sigmoid(cls_a)
         # valid seg probs for the optional CRF pass (softmax at GT size)
         vd_probs = jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
+        if return_maps:
+            return hists, thr, probs, probs_aux, vd_probs, seg_vd, r_cam
         return hists, thr, probs, probs_aux, vd_probs
 
     return eval_step
@@ -133,6 +136,7 @@ def evaluate(
     getcrf: bool = False,
     threshold_filters: Optional[Sequence[float]] = None,
     max_images: Optional[int] = None,
+    save_dir: Optional[str] = None,
 ) -> Dict:
     """Returns {'CAM': score, 'aux_CAM': ..., 'Seg_ps': ..., 'Seg_vd': ...,
     'cls_aps': (mAP, mAP_aux), [thresholded pseudo scores], ['Seg_crf']}."""
@@ -149,7 +153,7 @@ def evaluate(
     local = idxs[pidx::pcnt]
 
     pad = sizes[0]
-    eval_step = _build_eval_step(cfg, model, pad, thresholds)
+    eval_step = _build_eval_step(cfg, model, pad, thresholds, bool(save_dir))
 
     hist_sum = np.zeros((4, n, n), np.int64)
     thr_sum = np.zeros((2 * len(thresholds), n, n), np.int64)
@@ -166,7 +170,9 @@ def evaluate(
         h, w = img.shape[:2]
         if h > pad or w > pad:  # defensive: oversized val image
             pad_i = max(h, w)
-            eval_step_i = _build_eval_step(cfg, model, pad_i, thresholds)
+            eval_step_i = _build_eval_step(
+                cfg, model, pad_i, thresholds, bool(save_dir)
+            )
         else:
             pad_i, eval_step_i = pad, eval_step
 
@@ -182,7 +188,7 @@ def evaluate(
         m_out_w[:w] = _linear_matrix(cfg.crop_size, w)
         box = np.array([[0, h - 1, 0, w - 1]], np.int32)
 
-        hists, thr, probs, probs_aux, vd_probs = eval_step_i(
+        outs = eval_step_i(
             params,
             jnp.asarray(img_pad),
             jnp.asarray(gt_pad),
@@ -193,6 +199,17 @@ def evaluate(
             jnp.asarray(m_out_w),
             jnp.asarray(box),
         )
+        hists, thr, probs, probs_aux, vd_probs = outs[:5]
+        if save_dir:
+            from cosa_tpu.data.datasets import class_list
+            from cosa_tpu.utils.visualize import dump_eval_visuals
+
+            seg_map = np.asarray(outs[5])[0, :h, :w]
+            cam_map = np.asarray(outs[6])[0, :h, :w]
+            dump_eval_visuals(
+                save_dir, sample["name"], img, seg_map, cam_map, gt,
+                cls_label, class_list(cfg.dataset), cfg.num_classes,
+            )
         hist_sum += np.asarray(hists, np.int64)
         if thresholds:
             thr_sum += np.asarray(thr, np.int64)
