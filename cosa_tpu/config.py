@@ -116,7 +116,11 @@ class Config:
 
     # ---- TPU-specific ----------------------------------------------------
     mixed_precision: bool = True  # bf16 activations/matmuls, f32 params/opt
-    flash_attention: bool = True  # Pallas flash-attention on TPU
+    # Pallas flash attention (kernels/flash.py). Off by default: measured on
+    # v5e at CoSA's sequence lengths (785/1765 tokens, bf16) XLA's fused
+    # attention is faster (3.1 vs 3.8 ms and 7.7 vs 9.1 ms fwd+bwd) — the
+    # kernel pays pad/layout overhead the compiler path doesn't.
+    flash_attention: bool = False
     dp: int = -1  # data-parallel mesh size (-1: all devices / tp)
     tp: int = 1  # tensor-parallel mesh size (model axis)
     donate: bool = True

@@ -56,7 +56,7 @@ def load_name_list(dataset: str, split: str) -> List[str]:
 
 
 def class_list(dataset: str) -> List[str]:
-    return VOC_CLASSES if dataset == "VOC12" else COCO_CLASSES
+    return COCO_CLASSES if dataset == "COCO" else VOC_CLASSES
 
 
 def _onehot_from_mask(mask: np.ndarray, num_classes: int, ignore: int) -> np.ndarray:

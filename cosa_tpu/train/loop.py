@@ -87,6 +87,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     n_params = sum(x.size for x in jax.tree.leaves(state.student))
     writer.print(f"Number of trainable params for Network: {n_params//1_000_000}M")
 
+    if cfg.profile_dir and is_host0():
+        jax.profiler.start_trace(cfg.profile_dir)
+
     meter = AverageMeter()
     pending = []  # device-side metric dicts awaiting a log flush
     best_seg, best_cam = -1.0, -1.0
@@ -157,6 +160,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
                 best_seg, best_cam,
             )
             ckpt.save_state(ckpt_dir, state, n_iter + 1, cfg.checkpoint_keep)
+
+    if cfg.profile_dir and is_host0():
+        jax.profiler.stop_trace()
 
     loader.close()
     writer.print(
