@@ -135,7 +135,7 @@ class Config:
         assert self.camloss_version in ("v1", "v2", "v3"), self.camloss_version
         assert 1.0 in self.pseudo_scales, "scale 1.0 must be in pseudo_scales"
         assert 0.0 <= self.segfg_alpha <= 1.0
-        assert self.energy_filter in ("rff", "exact")
+        assert self.energy_filter in ("rff", "lattice", "exact")
         return self
 
     def replace(self, **kw: Any) -> "Config":
@@ -230,7 +230,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
     overrides = {
         k: (tuple(v) if isinstance(v, list) else v)
         for k, v in vars(ns).items()
-        if v is not None and k != "name"
+        if v is not None and k not in ("name", "dataset")
     }
     cfg = preset_config(dataset, **overrides)
     cfg = cfg.replace(name=ns.name)

@@ -137,6 +137,7 @@ def evaluate(
     threshold_filters: Optional[Sequence[float]] = None,
     max_images: Optional[int] = None,
     save_dir: Optional[str] = None,
+    save_rawcam_dir: Optional[str] = None,
 ) -> Dict:
     """Returns {'CAM': score, 'aux_CAM': ..., 'Seg_ps': ..., 'Seg_vd': ...,
     'cls_aps': (mAP, mAP_aux), [thresholded pseudo scores], ['Seg_crf']}."""
@@ -153,7 +154,8 @@ def evaluate(
     local = idxs[pidx::pcnt]
 
     pad = sizes[0]
-    eval_step = _build_eval_step(cfg, model, pad, thresholds, bool(save_dir))
+    want_maps = bool(save_dir) or bool(save_rawcam_dir)
+    eval_step = _build_eval_step(cfg, model, pad, thresholds, want_maps)
 
     hist_sum = np.zeros((4, n, n), np.int64)
     thr_sum = np.zeros((2 * len(thresholds), n, n), np.int64)
@@ -171,7 +173,7 @@ def evaluate(
         if h > pad or w > pad:  # defensive: oversized val image
             pad_i = max(h, w)
             eval_step_i = _build_eval_step(
-                cfg, model, pad_i, thresholds, bool(save_dir)
+                cfg, model, pad_i, thresholds, want_maps
             )
         else:
             pad_i, eval_step_i = pad, eval_step
@@ -200,6 +202,23 @@ def evaluate(
             jnp.asarray(box),
         )
         hists, thr, probs, probs_aux, vd_probs = outs[:5]
+        if save_rawcam_dir:
+            # reference save_cam_npv2 (evaluation_engine.py:299-309): per
+            # image, a dict {class_idx: cam_map} over present classes
+            import os as _os
+
+            _os.makedirs(save_rawcam_dir, exist_ok=True)
+            cam_map = np.asarray(outs[6])[0, :h, :w]
+            cam_dict = {
+                int(c): cam_map[..., c]
+                for c in range(cfg.num_classes - 1)
+                if cls_label[c] > 0
+            }
+            if cam_dict:
+                np.save(
+                    _os.path.join(save_rawcam_dir, sample["name"] + ".npy"),
+                    cam_dict,  # type: ignore[arg-type]
+                )
         if save_dir:
             from cosa_tpu.data.datasets import class_list
             from cosa_tpu.utils.visualize import dump_eval_visuals

@@ -230,10 +230,26 @@ def finaleval(cfg: Config) -> Dict:
     writer = MetricWriter(out_dir)
     model = build_model(cfg)
     state = create_train_state(cfg, model, cfg.batch_size)
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.student
-    )
-    params = ckpt.load_best(out_dir, "seg", abstract)
+    if cfg.pretrained_path:
+        # evaluate a released torch checkpoint (best_seg.pth-style) directly
+        from cosa_tpu.models.convert import (
+            load_torch_checkpoint,
+            network_params_from_torch,
+        )
+        from cosa_tpu.models.vit import BACKBONES
+
+        sd = load_torch_checkpoint(cfg.pretrained_path)
+        params = network_params_from_torch(sd, BACKBONES[cfg.backbone].depth)
+        # keep any params the torch dict lacks (e.g. Maskformer extras)
+        from cosa_tpu.models.convert import _merge
+
+        params = _merge(state.student, params)
+        writer.print(f"evaluating torch checkpoint {cfg.pretrained_path}")
+    else:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.student
+        )
+        params = ckpt.load_best(out_dir, "seg", abstract)
     from cosa_tpu.data.loader import build_test_dataset
 
     test_ds = build_test_dataset(cfg)
