@@ -35,7 +35,8 @@ def poly_warmup_schedule(
 
     def sched(step):
         s = jnp.minimum(step.astype(jnp.float32), max_iter - 1)
-        warm = 1.0 - (1.0 - s / warmup_iter) * (1.0 - warmup_ratio)
+        # cancellation-free form of 1 - (1 - s/w)(1 - ratio)
+        warm = s / warmup_iter + (1.0 - s / warmup_iter) * warmup_ratio
         poly = jnp.maximum((1.0 - s / max_iter) ** power, min_mult)
         return base_lr * jnp.where(s < warmup_iter, warm, poly)
 
