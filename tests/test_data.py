@@ -1,0 +1,88 @@
+"""Data layer tests: transforms, datasets, loader sharding/determinism."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cosa_tpu.config import preset_config
+from cosa_tpu.data import randaug, transforms
+from cosa_tpu.data.datasets import SyntheticBase, ClsTrainDataset, _onehot_from_mask
+from cosa_tpu.data.loader import TrainLoader, build_train_dataset
+
+
+def test_random_crop_img_box_semantics():
+    """img_box marks the valid-pixel rectangle inside the padded crop
+    (reference transforms.py:184-196)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (100, 80, 3)).astype(np.uint8)
+    crop, box = transforms.random_crop(rng, img, crop_size=128, mean_rgb=(0, 0, 0))
+    assert crop.shape == (128, 128, 3)
+    h0, h1, w0, w1 = box
+    # interior is image content; exterior is the pad color (0)
+    assert (h1 - h0) == 100 and (w1 - w0) == 80
+    outside = crop.copy()
+    outside[h0:h1, w0:w1] = 0
+    assert outside.sum() == 0
+
+
+def test_random_crop_large_image_box_full():
+    rng = np.random.default_rng(1)
+    img = rng.integers(1, 255, (600, 700, 3)).astype(np.uint8)
+    crop, box = transforms.random_crop(rng, img, crop_size=448)
+    assert crop.shape == (448, 448, 3)
+    np.testing.assert_array_equal(box, [0, 448, 0, 448])
+
+
+def test_randaug_ops_run():
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    )
+    for op in randaug.OPS:
+        out = op(img, 5)
+        assert out.size == img.size
+
+
+def test_onehot_from_mask():
+    mask = np.array([[0, 3], [255, 7]], np.uint8)
+    oh = _onehot_from_mask(mask, 21, 255)
+    assert oh.sum() == 2 and oh[3] == 1 and oh[7] == 1 and oh[0] == 0
+
+
+def test_sample_replayable():
+    """(seed, epoch, idx) fully determines a training sample."""
+    cfg = preset_config("synthetic", crop_size=64)
+    ds = build_train_dataset(cfg)
+    a = ds[(3, 7)]
+    b = ds[(3, 7)]
+    c = ds[(4, 7)]
+    np.testing.assert_array_equal(a["wimg"], b["wimg"])
+    np.testing.assert_array_equal(a["img_box"], b["img_box"])
+    assert not np.array_equal(a["wimg"], c["wimg"])  # epoch changes aug
+
+
+def test_loader_shards_partition_data():
+    cfg = preset_config("synthetic", crop_size=64)
+    ds = build_train_dataset(cfg)
+    l0 = TrainLoader(ds, batch_size=4, seed=0, num_workers=2,
+                     process_index=0, process_count=2)
+    l1 = TrainLoader(ds, batch_size=4, seed=0, num_workers=2,
+                     process_index=1, process_count=2)
+    b0, b1 = next(l0), next(l1)
+    l0.close()
+    l1.close()
+    assert b0["wimg"].shape == (4, 64, 64, 3)
+    assert b0["wimg"].dtype == np.uint8
+    # different shards see different data
+    assert not np.array_equal(b0["wimg"], b1["wimg"])
+
+
+def test_loader_epoch_reshuffles():
+    cfg = preset_config("synthetic", crop_size=64)
+    ds = build_train_dataset(cfg)
+    loader = TrainLoader(ds, batch_size=8, seed=0, num_workers=2,
+                         process_index=0, process_count=1)
+    per_epoch = len(ds) // 8
+    first_epoch = [next(loader) for _ in range(per_epoch)]
+    second_epoch = [next(loader) for _ in range(2)]
+    loader.close()
+    assert not np.array_equal(first_epoch[0]["wimg"], second_epoch[0]["wimg"])
