@@ -137,9 +137,67 @@ def _crf_padded(
     return jnp.argmax(q, axis=-1).astype(jnp.int32)
 
 
+def _np_spatial_filter(q: np.ndarray, sigma: float) -> np.ndarray:
+    h, w = q.shape[:2]
+    gh, gw = _gauss_band(h, sigma), _gauss_band(w, sigma)
+    y = np.tensordot(gh, q, axes=[[1], [0]])
+    y = np.tensordot(gw, y, axes=[[1], [1]])
+    return np.moveaxis(y, 0, 1)
+
+
+def crf_refine_native(cfg, img: np.ndarray, probs: np.ndarray) -> np.ndarray:
+    """Host mean-field with the native C++ lattice (cosa_tpu/native) for the
+    bilateral message — the same division of labor as the reference's
+    pydensecrf (host C++ at final eval, evaluation_engine.py:205-211)."""
+    from cosa_tpu.native.build import lattice_gaussian_cpu
+
+    h, w = img.shape[:2]
+    c = probs.shape[-1]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    feats = np.concatenate(
+        [
+            (xs / cfg.crf_bi_xy)[..., None],
+            (ys / cfg.crf_bi_xy)[..., None],
+            img.astype(np.float32) / cfg.crf_bi_rgb,
+        ],
+        axis=-1,
+    ).reshape(-1, 5)
+
+    def bilateral(qmap):  # (H, W, K)
+        out = lattice_gaussian_cpu(feats, qmap.reshape(h * w, -1))
+        return out.reshape(h, w, -1)
+
+    def normalized(filter_fn, q):
+        norm = filter_fn(np.ones((h, w, 1), np.float32))
+        inv = np.where(norm > 1e-20, 1.0 / np.sqrt(norm), 0.0)
+        return filter_fn(q * inv) * inv
+
+    log_p = np.log(np.clip(probs, 1e-8, 1.0))
+    q = probs.astype(np.float32)
+    for _ in range(int(cfg.crf_iter)):
+        m_pos = normalized(lambda x: _np_spatial_filter(x, cfg.crf_pos_xy), q)
+        m_bi = normalized(bilateral, q)
+        logits = log_p + cfg.crf_pos_w * m_pos + cfg.crf_bi_w * m_bi
+        logits -= logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits)
+        q = e / e.sum(axis=-1, keepdims=True)
+    return np.argmax(q, axis=-1).astype(np.int32)
+
+
 def crf_refine_host(cfg, img: np.ndarray, probs: np.ndarray) -> np.ndarray:
     """img: (H, W, 3) uint8; probs: (H, W, C) softmax seg probs.
-    Returns the refined (H, W) int label map."""
+    Returns the refined (H, W) int label map.
+
+    Dispatch: host C++ lattice when available (fast path for final eval,
+    like the reference's pydensecrf); otherwise the jitted JAX mean-field
+    (full-res lattice or reduced-res exact, per ``crf_reduce``)."""
+    try:
+        from cosa_tpu.native.build import load_native
+
+        load_native()
+        return crf_refine_native(cfg, img, probs)
+    except Exception:
+        pass
     h, w = img.shape[:2]
     pad = 500 if cfg.dataset == "VOC12" else 640
     pad = max(pad, h, w)
