@@ -92,16 +92,61 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
 
     meter = AverageMeter()
     pending = []  # device-side metric dicts awaiting a log flush
-    best_seg, best_cam = -1.0, -1.0
     total = min(cfg.max_iters, max_steps or cfg.max_iters)
     t0 = time.time()
-    t_log = time.time()
+
+    # failure containment: the reference loses everything but best weights on
+    # a mid-run crash (SURVEY.md §5.3); here any exception flushes a full
+    # resumable checkpoint before propagating.
+    try:
+        _train_body(
+            cfg, model, state, step_fn, loader, val_ds, bshard, writer,
+            out_dir, ckpt_dir, meter, pending, start_step, total, t0,
+            results_box := {},
+        )
+    except BaseException:
+        try:
+            ckpt.save_state(
+                os.path.join(out_dir, "ckpt_emergency"),
+                results_box.get("state", state),
+                int(results_box.get("iter", start_step)),
+                1,
+            )
+            writer.print("emergency checkpoint saved to ckpt_emergency/")
+        except Exception as e:  # never mask the original failure
+            writer.print(f"emergency checkpoint failed: {e}")
+        raise
+    state = results_box["state"]
+    best_seg = results_box["best_seg"]
+    best_cam = results_box["best_cam"]
+    results = results_box["results"]
+
+    if cfg.profile_dir and is_host0():
+        jax.profiler.stop_trace()
+
+    loader.close()
+    writer.print(
+        f"Training done in {time.time()-t0:.0f}s. "
+        f"Best val Seg mIoU: {best_seg:.2f} Best val CAM mIoU: {best_cam:.2f}"
+    )
+    results.update(best_seg=best_seg, best_cam=best_cam)
+    return results
+
+
+def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
+                out_dir, ckpt_dir, meter, pending, start_step, total, t0,
+                box):
+    best_seg, best_cam = -1.0, -1.0
     results = {}
+    global_batch = cfg.batch_size * (jax.device_count() // max(cfg.tp, 1))
+    t_log = time.time()
+    box.update(state=state, iter=start_step)
 
     for n_iter in range(start_step, total):
         batch = jax.device_put(next(loader), bshard)
         state, metrics = step_fn(state, batch)
         pending.append(metrics)
+        box.update(state=state, iter=n_iter + 1)
 
         if (n_iter + 1) % cfg.log_iters == 0:
             for m in pending:
@@ -161,16 +206,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
             )
             ckpt.save_state(ckpt_dir, state, n_iter + 1, cfg.checkpoint_keep)
 
-    if cfg.profile_dir and is_host0():
-        jax.profiler.stop_trace()
-
-    loader.close()
-    writer.print(
-        f"Training done in {time.time()-t0:.0f}s. "
-        f"Best val Seg mIoU: {best_seg:.2f} Best val CAM mIoU: {best_cam:.2f}"
-    )
-    results.update(best_seg=best_seg, best_cam=best_cam)
-    return results
+    box.update(state=state, best_seg=best_seg, best_cam=best_cam,
+               results=results)
 
 
 def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
