@@ -52,3 +52,25 @@ def test_evaluate_synthetic_end_to_end():
         assert 0.0 <= out[k]["miou"] <= 1.0
         assert 0.0 <= out[k]["pAcc"] <= 1.0
     assert len(out["cls_aps"]) == 2
+
+
+def test_evaluate_threshold_filters():
+    """Per-threshold pseudo-mask scoring (reference evaluation_engine
+    threshold_filters path + pseudo_scores convention)."""
+    cfg = preset_config(
+        "synthetic",
+        backbone="vit_tiny_test",
+        crop_size=64,
+        mixed_precision=False,
+        flash_attention=False,
+        eval_scales=(1.0,),
+    )
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    ds = build_val_dataset(cfg)
+    out = evaluate(
+        cfg, model, state.student, ds, max_images=2,
+        threshold_filters=(0.25,),
+    )
+    assert "cam_0.25" in out and "camaux_0.25" in out
+    assert 0.0 <= out["cam_0.25"]["miou"] <= 1.0
