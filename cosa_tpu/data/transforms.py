@@ -108,6 +108,78 @@ def random_crop(
     return crop, lab, img_box
 
 
+def _rgb_to_hsv(img: np.ndarray):
+    """uint8 RGB -> (h in [0,180), s in [0,255], v in [0,255]) float32,
+    OpenCV-convention (what mmcv.bgr2hsv produces in the reference)."""
+    rgb = img.astype(np.float32) / 255.0
+    mx = rgb.max(-1)
+    mn = rgb.min(-1)
+    diff = mx - mn + 1e-12
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    h = np.where(
+        mx == r, (g - b) / diff % 6.0,
+        np.where(mx == g, (b - r) / diff + 2.0, (r - g) / diff + 4.0),
+    )
+    h = h * 30.0  # 0..180 like OpenCV uint8 hue
+    s = np.where(mx > 0, diff / (mx + 1e-12), 0.0) * 255.0
+    v = mx * 255.0
+    return h, s, v
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h = (h / 30.0) % 6.0
+    s = np.clip(s / 255.0, 0, 1)
+    v = np.clip(v / 255.0, 0, 1)
+    i = np.floor(h).astype(int)
+    f = h - i
+    p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+    lut = np.stack([
+        np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+        np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+        np.stack([t, p, v], -1), np.stack([v, p, q], -1),
+    ])
+    rgb = np.take_along_axis(lut, i[None, ..., None] % 6, axis=0)[0]
+    return np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+
+
+class PhotoMetricDistortion:
+    """mmseg-style photometric jitter (reference transforms.py:204-301):
+    random brightness/contrast/saturation/hue, mmcv-free."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast = contrast_range
+        self.saturation = saturation_range
+        self.hue_delta = hue_delta
+
+    @staticmethod
+    def _convert(img, alpha=1.0, beta=0.0):
+        return np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(
+            np.uint8
+        )
+
+    def __call__(self, rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+        if rng.integers(2):
+            img = self._convert(
+                img, beta=rng.uniform(-self.brightness_delta, self.brightness_delta)
+            )
+        mode = int(rng.integers(2))
+        if mode == 1 and rng.integers(2):
+            img = self._convert(img, alpha=rng.uniform(*self.contrast))
+        if rng.integers(2):
+            h, s, v = _rgb_to_hsv(img)
+            s = self._convert(s, alpha=rng.uniform(*self.saturation))
+            img = _hsv_to_rgb(h, s, v)
+        if rng.integers(2):
+            h, s, v = _rgb_to_hsv(img)
+            h = (h + rng.integers(-self.hue_delta, self.hue_delta)) % 180.0
+            img = _hsv_to_rgb(h, s, v)
+        if mode == 0 and rng.integers(2):
+            img = self._convert(img, alpha=rng.uniform(*self.contrast))
+        return img
+
+
 def gaussian_blur(
     rng: np.random.Generator,
     img: Image.Image,

@@ -222,6 +222,7 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
                      threshold_filters=cfg.eval_threshold_filters,
                      max_images=fast_n)
 
+    val_log_lines = [f"iters:{n_iter - 1}"]
     for tag, res in (("ON", res_s), ("AN", res_t)):
         names = [k for k in res if k not in ("cls_aps",)]
         tab = format_iou_table([res[k] for k in names], names, cats)
@@ -233,6 +234,14 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
             "kind": "val", "model": tag, "iter": n_iter,
             **{k: res[k]["miou"] for k in names},
         })
+        val_log_lines.append(
+            f"{tag} model: cls:{res['cls_aps'][0]:.4f}, "
+            f"clsaux: {res['cls_aps'][1]:.4f}\n{tab}"
+        )
+    if is_host0():
+        # per-validation table log (reference main.py:377-383)
+        with open(os.path.join(out_dir, "log_val.txt"), "a") as f:
+            f.write("\n".join(val_log_lines) + "\n")
 
     # best-model bookkeeping (reference main.py:348-374): round to 2 decimals,
     # student wins ties

@@ -86,3 +86,17 @@ def test_loader_epoch_reshuffles():
     second_epoch = [next(loader) for _ in range(2)]
     loader.close()
     assert not np.array_equal(first_epoch[0]["wimg"], second_epoch[0]["wimg"])
+
+
+def test_photometric_distortion_runs_and_bounds():
+    from cosa_tpu.data.transforms import PhotoMetricDistortion, _rgb_to_hsv, _hsv_to_rgb
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    # HSV roundtrip identity
+    h, s, v = _rgb_to_hsv(img)
+    back = _hsv_to_rgb(h, s, v)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+    pmd = PhotoMetricDistortion()
+    out = pmd(rng, img)
+    assert out.shape == img.shape and out.dtype == np.uint8
