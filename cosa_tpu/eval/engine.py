@@ -55,7 +55,7 @@ def _pad_matrix(in_size: int, out_size: int, pad: int) -> np.ndarray:
 
 
 def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
-                     return_maps: bool = False):
+                     return_maps: bool = False, return_probs: bool = False):
     n = cfg.num_classes
     s = cfg.crop_size
 
@@ -118,13 +118,40 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
 
         probs = jax.nn.sigmoid(cls_f)
         probs_aux = jax.nn.sigmoid(cls_a)
-        # valid seg probs for the optional CRF pass (softmax at GT size)
-        vd_probs = jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
+        # everything scalar-ish packs into ONE f32 vector so the host needs a
+        # single device->host transfer per image (each fetch pays a full
+        # relay round trip)
+        packed = jnp.concatenate(
+            [
+                hists.astype(jnp.float32).reshape(-1),
+                thr.astype(jnp.float32).reshape(-1),
+                probs.reshape(-1),
+                probs_aux.reshape(-1),
+            ]
+        )
+        extras = []
+        if return_probs:
+            # valid seg probs for the CRF pass (softmax at GT size) — large,
+            # only materialized when actually needed
+            extras.append(
+                jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
+            )
         if return_maps:
-            return hists, thr, probs, probs_aux, vd_probs, seg_vd, r_cam
-        return hists, thr, probs, probs_aux, vd_probs
+            extras.extend([seg_vd, r_cam])
+        return (packed, *extras)
 
     return eval_step
+
+
+def _unpack(packed: np.ndarray, n: int, n_thr: int, ncls: int):
+    h4 = packed[: 4 * n * n].reshape(4, n, n).astype(np.int64)
+    off = 4 * n * n
+    thr = packed[off : off + n_thr * n * n].reshape(n_thr, n, n).astype(np.int64)
+    off += n_thr * n * n
+    probs = packed[off : off + ncls].reshape(1, ncls)
+    off += ncls
+    probs_aux = packed[off : off + ncls].reshape(1, ncls)
+    return h4, thr, probs, probs_aux
 
 
 def evaluate(
@@ -155,7 +182,9 @@ def evaluate(
 
     pad = sizes[0]
     want_maps = bool(save_dir) or bool(save_rawcam_dir)
-    eval_step = _build_eval_step(cfg, model, pad, thresholds, want_maps)
+    eval_step = _build_eval_step(
+        cfg, model, pad, thresholds, want_maps, getcrf
+    )
 
     hist_sum = np.zeros((4, n, n), np.int64)
     thr_sum = np.zeros((2 * len(thresholds), n, n), np.int64)
@@ -173,7 +202,7 @@ def evaluate(
         if h > pad or w > pad:  # defensive: oversized val image
             pad_i = max(h, w)
             eval_step_i = _build_eval_step(
-                cfg, model, pad_i, thresholds, want_maps
+                cfg, model, pad_i, thresholds, want_maps, getcrf
             )
         else:
             pad_i, eval_step_i = pad, eval_step
@@ -201,14 +230,23 @@ def evaluate(
             jnp.asarray(m_out_w),
             jnp.asarray(box),
         )
-        hists, thr, probs, probs_aux, vd_probs = outs[:5]
+        hists, thr, probs, probs_aux = _unpack(
+            np.asarray(outs[0]), n, 2 * len(thresholds), n - 1
+        )
+        extra_i = 1
+        vd_probs = None
+        if getcrf:
+            vd_probs = np.asarray(outs[extra_i])
+            extra_i += 1
+        if want_maps:
+            seg_map_full = np.asarray(outs[extra_i])[0, :h, :w]
+            cam_map = np.asarray(outs[extra_i + 1])[0, :h, :w]
         if save_rawcam_dir:
             # reference save_cam_npv2 (evaluation_engine.py:299-309): per
             # image, a dict {class_idx: cam_map} over present classes
             import os as _os
 
             _os.makedirs(save_rawcam_dir, exist_ok=True)
-            cam_map = np.asarray(outs[6])[0, :h, :w]
             cam_dict = {
                 int(c): cam_map[..., c]
                 for c in range(cfg.num_classes - 1)
@@ -223,22 +261,18 @@ def evaluate(
             from cosa_tpu.data.datasets import class_list
             from cosa_tpu.utils.visualize import dump_eval_visuals
 
-            seg_map = np.asarray(outs[5])[0, :h, :w]
-            cam_map = np.asarray(outs[6])[0, :h, :w]
             dump_eval_visuals(
-                save_dir, sample["name"], img, seg_map, cam_map, gt,
+                save_dir, sample["name"], img, seg_map_full, cam_map, gt,
                 cls_label, class_list(cfg.dataset), cfg.num_classes,
             )
-        hist_sum += np.asarray(hists, np.int64)
+        hist_sum += hists
         if thresholds:
-            thr_sum += np.asarray(thr, np.int64)
+            thr_sum += thr
         if cls_label.sum() > 0:
-            aps += compute_mAP(cls_label[None], np.asarray(probs))
-            aps_aux += compute_mAP(cls_label[None], np.asarray(probs_aux))
+            aps += compute_mAP(cls_label[None], probs)
+            aps_aux += compute_mAP(cls_label[None], probs_aux)
         if getcrf:
-            pred_crf = crf_refine_host(
-                cfg, img, np.asarray(vd_probs)[0, :h, :w]
-            )
+            pred_crf = crf_refine_host(cfg, img, vd_probs[0, :h, :w])
             gt_m = gt.astype(np.int64)
             from cosa_tpu.eval.metrics import fast_hist
 

@@ -149,25 +149,34 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
         box.update(state=state, iter=n_iter + 1)
 
         if (n_iter + 1) % cfg.log_iters == 0:
-            for m in pending:
-                meter.add(
-                    {
-                        k: float(m[k])
-                        for k in (
-                            "overall_loss", "cls_loss", "cls_aux_loss",
-                            "seg_loss", "cam_loss", "reg_loss",
-                        )
-                    }
-                )
+            # ONE device->host transfer for the whole window: scalar metrics
+            # stack into a (window, 6) array on device first. Per-scalar
+            # fetches cost a full relay round trip each (~27 ms measured).
+            keys = ("overall_loss", "cls_loss", "cls_aux_loss",
+                    "seg_loss", "cam_loss", "reg_loss")
             last = pending[-1]
-            cls_acc = float(np.mean(compute_mAP(
-                np.asarray(batch["cls_label"]),
-                jax.nn.sigmoid(np.asarray(last["cls_logits"], np.float32)),
-            ) or [0.0]))
-            cls_aux_acc = float(np.mean(compute_mAP(
-                np.asarray(batch["cls_label"]),
-                jax.nn.sigmoid(np.asarray(last["cls_aux_logits"], np.float32)),
-            ) or [0.0]))
+            stacked = jnp.stack(
+                [jnp.stack([m[k] for k in keys]) for m in pending]
+            )
+            packed = jnp.concatenate(
+                [
+                    stacked.reshape(-1),
+                    last["lr"][None],
+                    jax.nn.sigmoid(last["cls_logits"]).reshape(-1),
+                    jax.nn.sigmoid(last["cls_aux_logits"]).reshape(-1),
+                ]
+            )
+            host = np.asarray(packed)
+            nwin = len(pending)
+            vals = host[: nwin * 6].reshape(nwin, 6)
+            for row in vals:
+                meter.add(dict(zip(keys, row)))
+            lr_now = float(host[nwin * 6])
+            ncls = cfg.num_classes - 1
+            probs = host[nwin * 6 + 1 :].reshape(2, -1, ncls)
+            labels = np.asarray(batch["cls_label"])
+            cls_acc = float(np.mean(compute_mAP(labels, probs[0]) or [0.0]))
+            cls_aux_acc = float(np.mean(compute_mAP(labels, probs[1]) or [0.0]))
             pending = []
             itertime = (time.time() - t_log) / cfg.log_iters
             t_log = time.time()
@@ -176,7 +185,7 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
                 iter=n_iter + 1,
                 itertime=round(itertime, 3),
                 imgs_per_sec=round(global_batch / itertime, 2),
-                lr=float(last["lr"]),
+                lr=lr_now,
                 cls_acc=round(cls_acc, 3),
                 cls_aux_acc=round(cls_aux_acc, 3),
                 **{
