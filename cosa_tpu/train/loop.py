@@ -142,8 +142,20 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
     t_log = time.time()
     box.update(state=state, iter=start_step)
 
+    multihost = jax.process_count() > 1
+
+    def put(local_batch):
+        if multihost:
+            # each process contributes its local shard of the global batch
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(bshard, x),
+                local_batch,
+            )
+        return jax.device_put(local_batch, bshard)
+
     for n_iter in range(start_step, total):
-        batch = jax.device_put(next(loader), bshard)
+        local_batch = next(loader)
+        batch = put(local_batch)
         state, metrics = step_fn(state, batch)
         pending.append(metrics)
         box.update(state=state, iter=n_iter + 1)
@@ -158,25 +170,27 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
             stacked = jnp.stack(
                 [jnp.stack([m[k] for k in keys]) for m in pending]
             )
-            packed = jnp.concatenate(
-                [
-                    stacked.reshape(-1),
-                    last["lr"][None],
+            parts = [stacked.reshape(-1), last["lr"][None]]
+            if not multihost:  # per-batch cls logits are data-sharded
+                parts += [
                     jax.nn.sigmoid(last["cls_logits"]).reshape(-1),
                     jax.nn.sigmoid(last["cls_aux_logits"]).reshape(-1),
                 ]
-            )
-            host = np.asarray(packed)
+            host = np.asarray(jnp.concatenate(parts))
             nwin = len(pending)
             vals = host[: nwin * 6].reshape(nwin, 6)
             for row in vals:
                 meter.add(dict(zip(keys, row)))
             lr_now = float(host[nwin * 6])
-            ncls = cfg.num_classes - 1
-            probs = host[nwin * 6 + 1 :].reshape(2, -1, ncls)
-            labels = np.asarray(batch["cls_label"])
-            cls_acc = float(np.mean(compute_mAP(labels, probs[0]) or [0.0]))
-            cls_aux_acc = float(np.mean(compute_mAP(labels, probs[1]) or [0.0]))
+            cls_acc = cls_aux_acc = float("nan")
+            if not multihost:
+                ncls = cfg.num_classes - 1
+                probs = host[nwin * 6 + 1 :].reshape(2, -1, ncls)
+                labels = np.asarray(local_batch["cls_label"])
+                cls_acc = float(np.mean(compute_mAP(labels, probs[0]) or [0.0]))
+                cls_aux_acc = float(
+                    np.mean(compute_mAP(labels, probs[1]) or [0.0])
+                )
             pending = []
             itertime = (time.time() - t_log) / cfg.log_iters
             t_log = time.time()
