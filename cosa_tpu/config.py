@@ -40,6 +40,7 @@ class Config:
     fasteval: bool = False
     valfull: bool = False
     eval_threshold_filters: Optional[Tuple[float, ...]] = None
+    eval_batch: int = 8  # val images per compiled eval call (reference: 1)
 
     # ---- data -----------------------------------------------------------
     # reference: args.py:26-35

@@ -61,12 +61,14 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
 
     @jax.jit
     def eval_step(params, img_pad, gt_pad, cls_label, m_in_h, m_in_w, m_out_h, m_out_w, box):
-        """img_pad: (1, P, P, 3) u8; gt_pad: (1, P, P) i32 (255 outside);
-        m_in_*: (S, P) image->crop matrices; m_out_*: (P, S) logits->GT
-        matrices; box: (1, 4) = [0, H-1, 0, W-1] for threshold filtering."""
+        """Batched over B val images (the reference is locked to batch 1 per
+        rank, evaluation_engine.py:75). img_pad: (B, P, P, 3) u8; gt_pad:
+        (B, P, P) i32 (255 outside + on pad rows); m_in_*: (B, S, P)
+        per-image image->crop matrices; m_out_*: (B, P, S) logits->GT
+        matrices; box: (B, 4) = [0, H-1, 0, W-1] per image."""
         img = normalize(img_pad)
-        img_s = jnp.einsum("sh,bhwc->bswc", m_in_h, img)
-        img_s = jnp.einsum("tw,bswc->bstc", m_in_w, img_s)
+        img_s = jnp.einsum("bsh,bhwc->bswc", m_in_h, img)
+        img_s = jnp.einsum("btw,bswc->bstc", m_in_w, img_s)
 
         fwd = lambda x: model.apply({"params": params}, x)
         cam, cam_aux, seg, cls_f, cls_a = multi_scale_camseg(
@@ -74,8 +76,8 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
         )
 
         def up(x):
-            y = jnp.einsum("ph,bhwc->bpwc", m_out_h, x)
-            return jnp.einsum("qw,bpwc->bpqc", m_out_w, y)
+            y = jnp.einsum("bph,bhwc->bpwc", m_out_h, x)
+            return jnp.einsum("bqw,bpwc->bpqc", m_out_w, y)
 
         r_cam, r_cam_aux, r_seg = up(cam), up(cam_aux), up(seg)
 
@@ -143,14 +145,14 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
     return eval_step
 
 
-def _unpack(packed: np.ndarray, n: int, n_thr: int, ncls: int):
+def _unpack(packed: np.ndarray, n: int, n_thr: int, ncls: int, b: int):
     h4 = packed[: 4 * n * n].reshape(4, n, n).astype(np.int64)
     off = 4 * n * n
     thr = packed[off : off + n_thr * n * n].reshape(n_thr, n, n).astype(np.int64)
     off += n_thr * n * n
-    probs = packed[off : off + ncls].reshape(1, ncls)
-    off += ncls
-    probs_aux = packed[off : off + ncls].reshape(1, ncls)
+    probs = packed[off : off + b * ncls].reshape(b, ncls)
+    off += b * ncls
+    probs_aux = packed[off : off + b * ncls].reshape(b, ncls)
     return h4, thr, probs, probs_aux
 
 
@@ -182,6 +184,9 @@ def evaluate(
 
     pad = sizes[0]
     want_maps = bool(save_dir) or bool(save_rawcam_dir)
+    # per-image artifacts / CRF prob maps are large: batch only the pure
+    # metric path
+    bsz = 1 if (want_maps or getcrf) else int(getattr(cfg, "eval_batch", 8))
     eval_step = _build_eval_step(
         cfg, model, pad, thresholds, want_maps, getcrf
     )
@@ -195,35 +200,49 @@ def evaluate(
     if getcrf:
         from cosa_tpu.eval.crf import crf_refine_host
 
-    for i in local:
-        sample = val_ds[i]
-        img, gt, cls_label = sample["image"], sample["label"], sample["cls_label"]
-        h, w = img.shape[:2]
-        if h > pad or w > pad:  # defensive: oversized val image
-            pad_i = max(h, w)
+    for c0 in range(0, len(local), bsz):
+        chunk = local[c0 : c0 + bsz]
+        samples = [val_ds[i] for i in chunk]
+        nvalid = len(samples)
+        while len(samples) < bsz:  # pad the tail chunk (gt=255 nullifies it)
+            samples.append(samples[-1])
+
+        pad_i = pad
+        if any(max(s["image"].shape[:2]) > pad for s in samples):
+            pad_i = max(max(s["image"].shape[:2]) for s in samples)
+        if pad_i != pad:
             eval_step_i = _build_eval_step(
                 cfg, model, pad_i, thresholds, want_maps, getcrf
             )
         else:
-            pad_i, eval_step_i = pad, eval_step
+            eval_step_i = eval_step
 
-        img_pad = np.zeros((1, pad_i, pad_i, 3), np.uint8)
-        img_pad[0, :h, :w] = img
-        gt_pad = np.full((1, pad_i, pad_i), 255, np.int32)
-        gt_pad[0, :h, :w] = gt
-        m_in_h = _pad_matrix(h, cfg.crop_size, pad_i)
-        m_in_w = _pad_matrix(w, cfg.crop_size, pad_i)
-        m_out_h = np.zeros((pad_i, cfg.crop_size), np.float32)
-        m_out_h[:h] = _linear_matrix(cfg.crop_size, h)
-        m_out_w = np.zeros((pad_i, cfg.crop_size), np.float32)
-        m_out_w[:w] = _linear_matrix(cfg.crop_size, w)
-        box = np.array([[0, h - 1, 0, w - 1]], np.int32)
+        img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
+        gt_pad = np.full((bsz, pad_i, pad_i), 255, np.int32)
+        cls_labels = np.zeros((bsz, n - 1), np.float32)
+        m_in_h = np.zeros((bsz, cfg.crop_size, pad_i), np.float32)
+        m_in_w = np.zeros((bsz, cfg.crop_size, pad_i), np.float32)
+        m_out_h = np.zeros((bsz, pad_i, cfg.crop_size), np.float32)
+        m_out_w = np.zeros((bsz, pad_i, cfg.crop_size), np.float32)
+        box = np.zeros((bsz, 4), np.int32)
+        for bi, smp in enumerate(samples):
+            img, gt = smp["image"], smp["label"]
+            h, w = img.shape[:2]
+            img_pad[bi, :h, :w] = img
+            if bi < nvalid:  # padded duplicates contribute nothing
+                gt_pad[bi, :h, :w] = gt
+            cls_labels[bi] = smp["cls_label"]
+            m_in_h[bi] = _pad_matrix(h, cfg.crop_size, pad_i)
+            m_in_w[bi] = _pad_matrix(w, cfg.crop_size, pad_i)
+            m_out_h[bi, :h] = _linear_matrix(cfg.crop_size, h)
+            m_out_w[bi, :w] = _linear_matrix(cfg.crop_size, w)
+            box[bi] = [0, h - 1, 0, w - 1]
 
         outs = eval_step_i(
             params,
             jnp.asarray(img_pad),
             jnp.asarray(gt_pad),
-            jnp.asarray(cls_label[None]),
+            jnp.asarray(cls_labels),
             jnp.asarray(m_in_h),
             jnp.asarray(m_in_w),
             jnp.asarray(m_out_h),
@@ -231,7 +250,7 @@ def evaluate(
             jnp.asarray(box),
         )
         hists, thr, probs, probs_aux = _unpack(
-            np.asarray(outs[0]), n, 2 * len(thresholds), n - 1
+            np.asarray(outs[0]), n, 2 * len(thresholds), n - 1, bsz
         )
         extra_i = 1
         vd_probs = None
@@ -239,6 +258,8 @@ def evaluate(
             vd_probs = np.asarray(outs[extra_i])
             extra_i += 1
         if want_maps:
+            sample0 = samples[0]
+            h, w = sample0["image"].shape[:2]
             seg_map_full = np.asarray(outs[extra_i])[0, :h, :w]
             cam_map = np.asarray(outs[extra_i + 1])[0, :h, :w]
         if save_rawcam_dir:
@@ -250,11 +271,11 @@ def evaluate(
             cam_dict = {
                 int(c): cam_map[..., c]
                 for c in range(cfg.num_classes - 1)
-                if cls_label[c] > 0
+                if samples[0]["cls_label"][c] > 0
             }
             if cam_dict:
                 np.save(
-                    _os.path.join(save_rawcam_dir, sample["name"] + ".npy"),
+                    _os.path.join(save_rawcam_dir, samples[0]["name"] + ".npy"),
                     cam_dict,  # type: ignore[arg-type]
                 )
         if save_dir:
@@ -262,16 +283,25 @@ def evaluate(
             from cosa_tpu.utils.visualize import dump_eval_visuals
 
             dump_eval_visuals(
-                save_dir, sample["name"], img, seg_map_full, cam_map, gt,
-                cls_label, class_list(cfg.dataset), cfg.num_classes,
+                save_dir, samples[0]["name"], samples[0]["image"],
+                seg_map_full, cam_map, samples[0]["label"],
+                samples[0]["cls_label"], class_list(cfg.dataset),
+                cfg.num_classes,
             )
+        # padded duplicate rows in the hists were nullified via gt=255, but
+        # their predictions could still land in column counts of the
+        # threshold pseudo-hists? No: pseudo-hist rows also carry gt=255.
         hist_sum += hists
         if thresholds:
             thr_sum += thr
-        if cls_label.sum() > 0:
-            aps += compute_mAP(cls_label[None], probs)
-            aps_aux += compute_mAP(cls_label[None], probs_aux)
+        for bi in range(nvalid):
+            cl = samples[bi]["cls_label"]
+            if cl.sum() > 0:
+                aps += compute_mAP(cl[None], probs[bi : bi + 1])
+                aps_aux += compute_mAP(cl[None], probs_aux[bi : bi + 1])
         if getcrf:
+            img, gt = samples[0]["image"], samples[0]["label"]
+            h, w = img.shape[:2]
             pred_crf = crf_refine_host(cfg, img, vd_probs[0, :h, :w])
             gt_m = gt.astype(np.int64)
             from cosa_tpu.eval.metrics import fast_hist
