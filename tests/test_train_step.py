@@ -121,3 +121,11 @@ def test_optional_subsystems(flag):
     if flag == "usegmm":
         assert int(state.gmm.ptr) == 2 * cfg.batch_size * 8 % state.gmm.queue.shape[0]
         assert 0.0 <= float(metrics["thre_low"]) <= 1.5
+
+
+def test_coco_class_count_train_step():
+    """81-class (COCO-shaped) co-training step on the virtual mesh."""
+    cfg = _cfg(num_classes=81)
+    mesh = make_mesh(dp=8, tp=1)
+    state, metrics = _run_steps(cfg, mesh, n_steps=1)
+    assert np.isfinite(float(metrics["overall_loss"]))
