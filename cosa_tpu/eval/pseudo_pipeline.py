@@ -114,7 +114,8 @@ def generate_pseudo_labels(
         mask_hw = mask_np[ys][:, xs]
         if use_crf:
             probs_hw = np_resize_bilinear(np.asarray(seg_probs)[0], (h, w))
-            probs_hw = np.exp(probs_hw) / np.exp(probs_hw).sum(-1, keepdims=True)
+            probs_hw = np.clip(probs_hw, 1e-8, 1.0)
+            probs_hw = probs_hw / probs_hw.sum(-1, keepdims=True)
             mask_hw = crf_refine_host(cfg, img, probs_hw).astype(np.uint8)
 
         save_seg(mask_hw.astype(np.uint8),
