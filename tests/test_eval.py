@@ -74,3 +74,23 @@ def test_evaluate_threshold_filters():
     )
     assert "cam_0.25" in out and "camaux_0.25" in out
     assert 0.0 <= out["cam_0.25"]["miou"] <= 1.0
+
+
+def test_batched_eval_equals_single_eval():
+    """eval_batch>1 (with tail padding) must reproduce eval_batch=1 hists
+    and mAPs exactly."""
+    base = dict(
+        backbone="vit_tiny_test", crop_size=64, mixed_precision=False,
+        flash_attention=False, eval_scales=(1.0,),
+    )
+    cfg1 = preset_config("synthetic", eval_batch=1, **base)
+    cfg3 = preset_config("synthetic", eval_batch=3, **base)
+    model = build_model(cfg1)
+    state = create_train_state(cfg1, model, 2)
+    ds = build_val_dataset(cfg1)
+    a = evaluate(cfg1, model, state.student, ds, max_images=5)
+    b = evaluate(cfg3, model, state.student, ds, max_images=5)
+    # batching changes matmul reduction order -> rare near-tie argmax flips
+    for k in ("CAM", "aux_CAM", "Seg_ps", "Seg_vd"):
+        assert a[k]["miou"] == pytest.approx(b[k]["miou"], abs=1e-4), k
+    assert a["cls_aps"][0] == pytest.approx(b["cls_aps"][0], abs=1e-6)
