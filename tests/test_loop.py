@@ -72,3 +72,36 @@ def test_short_training_run_with_eval_and_resume(tmp_path):
         loop_mod._run_validation = orig
     lines = open(os.path.join(str(tmp_path / "run2"), "metrics.jsonl")).read()
     assert '"iter": 8' in lines
+
+
+def test_finaleval_roundtrip(tmp_path):
+    """best_seg checkpoint reload + CRF final eval (reference finaleval,
+    main.py:401-433)."""
+    import jax
+    from cosa_tpu.train import checkpoint as ckpt
+    from cosa_tpu.train.loop import finaleval
+    from cosa_tpu.models import build_model
+    from cosa_tpu.train.state import create_train_state
+
+    cfg = _cfg(tmp_path / "fe", crf_iter=1)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    ckpt.save_best(str(tmp_path / "fe"), state.student, "seg",
+                   dict(s_or_t="s", iter=1, result=0.0))
+
+    import cosa_tpu.eval.engine as eng
+    orig = eng.evaluate
+
+    def few(cfg_, model_, params_, ds_, **kw):
+        return orig(cfg_, model_, params_, ds_, max_images=2, **kw)
+
+    eng.evaluate = few
+    import cosa_tpu.train.loop as loop_mod
+    loop_mod.evaluate = few
+    try:
+        res = finaleval(cfg)
+    finally:
+        eng.evaluate = orig
+        loop_mod.evaluate = orig
+    assert "Seg_crf" in res
+    assert 0.0 <= res["Seg_crf"]["miou"] <= 1.0
