@@ -288,9 +288,7 @@ def evaluate(
                 samples[0]["cls_label"], class_list(cfg.dataset),
                 cfg.num_classes,
             )
-        # padded duplicate rows in the hists were nullified via gt=255, but
-        # their predictions could still land in column counts of the
-        # threshold pseudo-hists? No: pseudo-hist rows also carry gt=255.
+        # padded duplicate rows are nullified in every hist via gt=255
         hist_sum += hists
         if thresholds:
             thr_sum += thr
