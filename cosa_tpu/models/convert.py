@@ -90,6 +90,55 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     return obj
 
 
+def encoder_params_from_augreg_npz(path: str, depth: int = 12) -> Dict:
+    """ViT encoder subtree from an original google-research
+    vision_transformer / augreg .npz checkpoint (the upstream source of the
+    timm jx_vit_* weights the reference downloads, models/vit/vit.py:54)."""
+    z = np.load(path)
+
+    def g(k):
+        return np.asarray(z[k], np.float32)
+
+    d = g("embedding/bias").shape[0]
+    p: Dict[str, Any] = {
+        "patch_embed": {"kernel": g("embedding/kernel"), "bias": g("embedding/bias")},
+        "cls_token": g("cls"),
+        "pos_embed": g("Transformer/posembed_input/pos_embedding"),
+        "norm": {
+            "scale": g("Transformer/encoder_norm/scale"),
+            "bias": g("Transformer/encoder_norm/bias"),
+        },
+    }
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}/"
+        att = b + "MultiHeadDotProductAttention_1/"
+        qkv_k = np.concatenate(
+            [g(att + f"{n}/kernel").reshape(d, -1) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [g(att + f"{n}/bias").reshape(-1) for n in ("query", "key", "value")]
+        )
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": g(b + "LayerNorm_0/scale"), "bias": g(b + "LayerNorm_0/bias")},
+            "norm2": {"scale": g(b + "LayerNorm_2/scale"), "bias": g(b + "LayerNorm_2/bias")},
+            "attn": {
+                "qkv": {"kernel": qkv_k, "bias": qkv_b},
+                "proj": {
+                    "kernel": g(att + "out/kernel").reshape(-1, d),
+                    "bias": g(att + "out/bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {"kernel": g(b + "MlpBlock_3/Dense_0/kernel"),
+                        "bias": g(b + "MlpBlock_3/Dense_0/bias")},
+                "fc2": {"kernel": g(b + "MlpBlock_3/Dense_1/kernel"),
+                        "bias": g(b + "MlpBlock_3/Dense_1/bias")},
+            },
+        }
+    return p
+
+
 def _merge(dst: Dict, src: Dict) -> Dict:
     out = dict(dst)
     for k, v in src.items():
@@ -101,17 +150,20 @@ def _merge(dst: Dict, src: Dict) -> Dict:
 
 
 def load_pretrained_into_state(cfg, state):
-    """Overlay a torch checkpoint on student AND teacher (both reference
-    networks are built with the same pretrained backbone, main.py:45-46)."""
-    sd = load_torch_checkpoint(cfg.pretrained_path)
-    keys = set(sd.keys())
+    """Overlay a checkpoint (torch .pth or original-ViT .npz) on student AND
+    teacher (both reference networks are built with the same pretrained
+    backbone, main.py:45-46)."""
     from cosa_tpu.models.vit import BACKBONES
 
     depth = BACKBONES[cfg.backbone].depth
-    if any(k.startswith("encoder.") for k in keys):
-        overlay = network_params_from_torch(sd, depth)
+    if cfg.pretrained_path.endswith(".npz"):
+        overlay = {"encoder": encoder_params_from_augreg_npz(cfg.pretrained_path, depth)}
     else:
-        overlay = {"encoder": encoder_params_from_torch(sd, depth)}
+        sd = load_torch_checkpoint(cfg.pretrained_path)
+        if any(k.startswith("encoder.") for k in sd.keys()):
+            overlay = network_params_from_torch(sd, depth)
+        else:
+            overlay = {"encoder": encoder_params_from_torch(sd, depth)}
     new_student = _merge(state.student, overlay)
     new_teacher = _merge(state.teacher, overlay)
     return state.replace(student=new_student, teacher=new_teacher)

@@ -159,3 +159,64 @@ def test_forward_parity_with_torch_oracle(size):
             np.moveaxis(ref[key].numpy(), 1, -1),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_augreg_npz_loader(tmp_path):
+    """The original-JAX .npz format loads into the same encoder tree shape
+    as torch conversion; q/k/v concat order matches the fused qkv layout."""
+    from cosa_tpu.models.convert import encoder_params_from_augreg_npz
+
+    rng = np.random.default_rng(0)
+    d, depth, heads = CFG.embed_dim, CFG.depth, CFG.num_heads
+    hd = d // heads
+    gs = CFG.base_img_size // CFG.patch_size
+    z = {
+        "embedding/kernel": rng.standard_normal((16, 16, 3, d)).astype(np.float32),
+        "embedding/bias": rng.standard_normal((d,)).astype(np.float32),
+        "cls": rng.standard_normal((1, 1, d)).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rng.standard_normal((1, gs * gs + 1, d)).astype(np.float32),
+        "Transformer/encoder_norm/scale": np.ones((d,), np.float32),
+        "Transformer/encoder_norm/bias": np.zeros((d,), np.float32),
+    }
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}/"
+        att = b + "MultiHeadDotProductAttention_1/"
+        for nme in ("query", "key", "value"):
+            z[att + f"{nme}/kernel"] = rng.standard_normal((d, heads, hd)).astype(np.float32)
+            z[att + f"{nme}/bias"] = rng.standard_normal((heads, hd)).astype(np.float32)
+        z[att + "out/kernel"] = rng.standard_normal((heads, hd, d)).astype(np.float32)
+        z[att + "out/bias"] = rng.standard_normal((d,)).astype(np.float32)
+        for ln in ("LayerNorm_0", "LayerNorm_2"):
+            z[b + f"{ln}/scale"] = np.ones((d,), np.float32)
+            z[b + f"{ln}/bias"] = np.zeros((d,), np.float32)
+        z[b + "MlpBlock_3/Dense_0/kernel"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
+        z[b + "MlpBlock_3/Dense_0/bias"] = rng.standard_normal((4 * d,)).astype(np.float32)
+        z[b + "MlpBlock_3/Dense_1/kernel"] = rng.standard_normal((4 * d, d)).astype(np.float32)
+        z[b + "MlpBlock_3/Dense_1/bias"] = rng.standard_normal((d,)).astype(np.float32)
+    path = str(tmp_path / "vit.npz")
+    np.savez(path, **z)
+
+    enc = encoder_params_from_augreg_npz(path, depth)
+    # structure matches a freshly-initialized encoder subtree
+    model = CoSANetwork(num_classes=NUM_CLASSES, backbone="vit_tiny_test",
+                        aux_layer=AUX_LAYER)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(init["params"]["encoder"])[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(enc)[0]}
+    assert ref_paths == got_paths
+    # shapes agree leaf-by-leaf
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(init["params"]["encoder"])[0],
+               key=lambda t: jax.tree_util.keystr(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(enc)[0],
+               key=lambda t: jax.tree_util.keystr(t[0])),
+    ):
+        assert a.shape == b.shape, (jax.tree_util.keystr(pa), a.shape, b.shape)
+    # model applies cleanly with the loaded encoder
+    params = dict(init["params"])
+    params["encoder"] = enc
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out["cls"])).all()
