@@ -129,3 +129,12 @@ def test_coco_class_count_train_step():
     mesh = make_mesh(dp=8, tp=1)
     state, metrics = _run_steps(cfg, mesh, n_steps=1)
     assert np.isfinite(float(metrics["overall_loss"]))
+
+
+def test_maskformer_decoder_train_step():
+    """Maskformer decoder path through the full co-training step
+    (reference --decoder Maskformer, models/__init__.py:103-117)."""
+    cfg = _cfg(decoder="Maskformer")
+    mesh = make_mesh(dp=8, tp=1)
+    state, metrics = _run_steps(cfg, mesh, n_steps=1)
+    assert np.isfinite(float(metrics["overall_loss"]))
