@@ -70,10 +70,16 @@ class TrainLoader:
         prefetch: int = 4,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        skip_batches: int = 0,
     ):
+        """``skip_batches`` fast-forwards the deterministic index stream (no
+        data is loaded for skipped batches) so a resumed run continues the
+        exact data order of the original — impossible in the reference,
+        whose sampler state lives in un-checkpointed worker processes."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
+        self.skip_batches = skip_batches
         self.pidx = jax.process_index() if process_index is None else process_index
         self.pcnt = jax.process_count() if process_count is None else process_count
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
@@ -99,6 +105,8 @@ class TrainLoader:
 
     def _feeder(self):
         stream = self._index_stream()
+        for _ in range(self.skip_batches):
+            next(stream)
         for epoch, idxs in stream:
             if self._stop.is_set():
                 return
@@ -133,11 +141,13 @@ class TrainLoader:
         self.pool.shutdown(wait=False)
 
 
-def build_train_loader(cfg, per_process_batch: int, num_workers: Optional[int] = None):
+def build_train_loader(cfg, per_process_batch: int, num_workers: Optional[int] = None,
+                       skip_batches: int = 0):
     ds = build_train_dataset(cfg)
     return TrainLoader(
         ds,
         batch_size=per_process_batch,
         seed=cfg.seed,
         num_workers=cfg.num_workers if num_workers is None else num_workers,
+        skip_batches=skip_batches,
     )

@@ -80,7 +80,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         writer.print(f"resumed from {cfg.resume} at step {start_step}")
 
     per_process = global_batch // jax.process_count()
-    loader = build_train_loader(cfg, per_process)
+    loader = build_train_loader(cfg, per_process, skip_batches=start_step)
     val_ds = build_val_dataset(cfg)
     bshard = batch_sharding(mesh)
 

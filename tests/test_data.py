@@ -100,3 +100,20 @@ def test_photometric_distortion_runs_and_bounds():
     pmd = PhotoMetricDistortion()
     out = pmd(rng, img)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_loader_skip_batches_continues_stream():
+    """Resume determinism: skipping N batches reproduces the tail of an
+    unskipped stream exactly."""
+    cfg = preset_config("synthetic", crop_size=64)
+    ds = build_train_dataset(cfg)
+    a = TrainLoader(ds, batch_size=4, seed=0, num_workers=2,
+                    process_index=0, process_count=1)
+    full = [next(a) for _ in range(5)]
+    a.close()
+    b = TrainLoader(ds, batch_size=4, seed=0, num_workers=2,
+                    process_index=0, process_count=1, skip_batches=3)
+    resumed = [next(b) for _ in range(2)]
+    b.close()
+    np.testing.assert_array_equal(full[3]["wimg"], resumed[0]["wimg"])
+    np.testing.assert_array_equal(full[4]["img_box"], resumed[1]["img_box"])
