@@ -41,6 +41,9 @@ class Config:
     valfull: bool = False
     eval_threshold_filters: Optional[Tuple[float, ...]] = None
     eval_batch: int = 8  # val images per compiled eval call (reference: 1)
+    # final-eval split: "val" scores like reference finaleval (main.py:414);
+    # "test" runs the GT-less VOC test split and dumps eval-server PNGs
+    eval_split: str = "val"
 
     # ---- data -----------------------------------------------------------
     # reference: args.py:26-35
@@ -50,6 +53,10 @@ class Config:
     ignore_index: int = 255
     num_classes: int = 21
     data_root: str = ""  # voc12_root / coco_root
+    # override directory for split lists + label dicts (default: the lists
+    # packaged under cosa_tpu/data/splits, reused from the reference's
+    # dataloaders/{voc,coco}/*.txt). Useful for subset runs and custom data.
+    split_dir: str = ""
     batch_size: int = 2  # per-device batch (reference: per-GPU, args.py:34)
     num_workers: int = 4
 
@@ -137,6 +144,7 @@ class Config:
         assert 1.0 in self.pseudo_scales, "scale 1.0 must be in pseudo_scales"
         assert 0.0 <= self.segfg_alpha <= 1.0
         assert self.energy_filter in ("rff", "lattice", "exact")
+        assert self.eval_split in ("val", "test"), self.eval_split
         return self
 
     def replace(self, **kw: Any) -> "Config":

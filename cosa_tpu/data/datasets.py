@@ -49,8 +49,8 @@ COCO_CLASSES = [
 ]
 
 
-def load_name_list(dataset: str, split: str) -> List[str]:
-    path = os.path.join(_SPLIT_DIR, dataset, split + ".txt")
+def load_name_list(dataset: str, split: str, split_dir: str = "") -> List[str]:
+    path = os.path.join(split_dir or _SPLIT_DIR, dataset, split + ".txt")
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]
 
@@ -72,13 +72,15 @@ class _BaseDataset:
 
     dataset: str
 
-    def __init__(self, root: str, split: str, stage: str, ignore_index: int = 255):
+    def __init__(self, root: str, split: str, stage: str, ignore_index: int = 255,
+                 split_dir: str = ""):
         self.root = root
         self.split = split
         self.stage = stage
         self.ignore_index = ignore_index
+        self.split_dir = split_dir or _SPLIT_DIR
         self.names = load_name_list(
-            "voc" if self.dataset == "VOC12" else "coco", split
+            "voc" if self.dataset == "VOC12" else "coco", split, self.split_dir
         )
 
     def __len__(self) -> int:
@@ -131,7 +133,8 @@ class _LabelDict:
         self.base = base
         self.table: Dict[str, np.ndarray] = {}
         if base.dataset == "VOC12":
-            path = os.path.join(_SPLIT_DIR, "voc", "cls_labels_onehot.npy")
+            sdir = getattr(base, "split_dir", _SPLIT_DIR)
+            path = os.path.join(sdir, "voc", "cls_labels_onehot.npy")
             self.table = np.load(path, allow_pickle=True).item()
 
     def __call__(self, name: str, idx: int) -> np.ndarray:
@@ -195,7 +198,13 @@ class ClsTrainDataset:
 
 class SegValDataset:
     """Validation samples (reference VOC12SegDataset voc.py:307-369, aug off):
-    raw-size uint8 image + GT mask + image-level labels."""
+    raw-size uint8 image + GT mask + image-level labels.
+
+    On the ground-truth-less ``test`` split (VOC eval-server submission,
+    reference dataloaders/voc.py test list of 1456 images) the label is a
+    zero canvas and the image-level vector is all-ones, which turns
+    class-validation into a no-op — predictions come from the raw seg head.
+    """
 
     def __init__(self, base: _BaseDataset):
         self.base = base
@@ -206,6 +215,13 @@ class SegValDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         name, image, label = self.base.raw(idx)
+        if self.base.stage == "test":
+            return dict(
+                name=name,
+                image=np.asarray(image, np.uint8),
+                label=np.zeros(image.shape[:2], np.uint8),
+                cls_label=np.ones((self.base.num_classes - 1,), np.float32),
+            )
         return dict(
             name=name,
             image=np.asarray(image, np.uint8),
@@ -222,7 +238,9 @@ class SyntheticBase:
     dataset = "synthetic"
 
     def __init__(self, num_classes=21, size=(320, 400), length=256,
-                 ignore_index=255, seed=1234):
+                 ignore_index=255, seed=1234, split="val", stage="val"):
+        self.split = split
+        self.stage = stage
         self.num_classes = num_classes
         self.size = size
         self.length = length
@@ -252,10 +270,12 @@ class SyntheticBase:
 
 
 def build_base(cfg, split: str, stage: str) -> _BaseDataset:
+    sdir = getattr(cfg, "split_dir", "")
     if cfg.dataset == "VOC12":
-        return VOCBase(cfg.data_root, split, stage, cfg.ignore_index)
+        return VOCBase(cfg.data_root, split, stage, cfg.ignore_index, sdir)
     if cfg.dataset == "COCO":
-        return COCOBase(cfg.data_root, split, stage, cfg.ignore_index)
+        return COCOBase(cfg.data_root, split, stage, cfg.ignore_index, sdir)
     if cfg.dataset == "synthetic":
-        return SyntheticBase(cfg.num_classes, ignore_index=cfg.ignore_index)
+        return SyntheticBase(cfg.num_classes, ignore_index=cfg.ignore_index,
+                             split=split, stage=stage)
     raise NotImplementedError(cfg.dataset)

@@ -54,8 +54,14 @@ def build_val_dataset(cfg) -> SegValDataset:
 
 
 def build_test_dataset(cfg) -> SegValDataset:
-    split = "val"  # reference uses the val split for final eval too
-    return SegValDataset(build_base(cfg, split, "val"))
+    """Final-eval dataset. The reference's finaleval scores the val split
+    (main.py:414); with ``eval_split="test"`` this returns the GT-less VOC
+    test split (1456 imgs, dataloaders/voc.py test list) for eval-server
+    submission dumps."""
+    split = getattr(cfg, "eval_split", "val") or "val"
+    if split == "test":
+        return SegValDataset(build_base(cfg, "test", "test"))
+    return SegValDataset(build_base(cfg, _val_split(cfg), "val"))
 
 
 class TrainLoader:

@@ -177,8 +177,14 @@ def evaluate(
 
     # local shard of the dataset per process
     idxs = list(range(len(val_ds)))
-    if max_images:
-        idxs = idxs[:max_images]
+    if max_images and max_images < len(idxs):
+        # DEVIATION from the reference (documented): the reference always
+        # evaluates the full split (evaluation_engine.py:75; its `fasteval`
+        # flag is parsed at args.py:104 but never consumed). When a subset is
+        # requested here it is a FIXED seeded random sample — an alphabetical
+        # prefix of val.txt would be class-biased and skew best-ckpt picks.
+        sub = np.random.default_rng(20240817).permutation(len(idxs))[:max_images]
+        idxs = sorted(int(i) for i in sub)
     pidx, pcnt = jax.process_index(), jax.process_count()
     local = idxs[pidx::pcnt]
 
@@ -190,6 +196,7 @@ def evaluate(
     eval_step = _build_eval_step(
         cfg, model, pad, thresholds, want_maps, getcrf
     )
+    _step_cache: Dict = {}  # compiled programs for oversized pad buckets
 
     hist_sum = np.zeros((4, n, n), np.int64)
     thr_sum = np.zeros((2 * len(thresholds), n, n), np.int64)
@@ -209,11 +216,18 @@ def evaluate(
 
         pad_i = pad
         if any(max(s["image"].shape[:2]) > pad for s in samples):
-            pad_i = max(max(s["image"].shape[:2]) for s in samples)
+            # bucket oversized pads to the next multiple of 128 and cache the
+            # compiled program per bucket — otherwise a dataset with many
+            # heterogeneous large images recompiles every batch
+            biggest = max(max(s["image"].shape[:2]) for s in samples)
+            pad_i = -(-biggest // 128) * 128
         if pad_i != pad:
-            eval_step_i = _build_eval_step(
-                cfg, model, pad_i, thresholds, want_maps, getcrf
-            )
+            key = (pad_i, thresholds, want_maps, getcrf)
+            if key not in _step_cache:
+                _step_cache[key] = _build_eval_step(
+                    cfg, model, pad_i, thresholds, want_maps, getcrf
+                )
+            eval_step_i = _step_cache[key]
         else:
             eval_step_i = eval_step
 

@@ -1,0 +1,100 @@
+"""Eval-server submission dumps for the ground-truth-less test split.
+
+The reference scores 75.1 on the VOC12 test server (README.md:132) but ships
+no code path to produce the submission: its data layer has the test list
+(dataloaders/voc.py) and finaleval only ever scores val (main.py:414). This
+module closes that gap: run the same single-compile TTA inference the val
+engine uses, take the raw seg argmax (no class validation — test images have
+no image-level labels), optionally CRF-refine, and write indexed-palette
+PNGs in the directory layout the PASCAL VOC evaluation server expects:
+
+  {out}/results/VOC2012/Segmentation/comp6_test_cls/{name}.png
+
+(comp6 is the segmentation-from-additional-data track CoSA competes in;
+`tar -czf results.tgz results/` of the dump directory is uploadable as-is.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosa_tpu.eval.engine import _build_eval_step, _pad_matrix
+from cosa_tpu.ops.resize import _linear_matrix
+
+
+def submission_dir(out_dir: str, dataset: str = "VOC12") -> str:
+    # the eval server unpacks results/VOC2012/Segmentation/comp6_test_cls/
+    server_name = {"VOC12": "VOC2012"}.get(dataset, dataset)
+    return os.path.join(
+        out_dir, "results", server_name, "Segmentation", "comp6_test_cls"
+    )
+
+
+def dump_submission(
+    cfg,
+    model,
+    params,
+    test_ds,
+    out_dir: str,
+    use_crf: bool = True,
+    max_images: Optional[int] = None,
+) -> str:
+    """Run TTA inference over ``test_ds`` and write one palette PNG per
+    image. Returns the directory containing the PNGs."""
+    from cosa_tpu.utils.visualize import save_seg
+
+    dst = submission_dir(out_dir, cfg.dataset)
+    os.makedirs(dst, exist_ok=True)
+
+    pad = 500 if cfg.dataset == "VOC12" else 640
+    # maps (and CRF probs) are per-image artifacts: batch 1, like the val
+    # engine's artifact path
+    step_cache = {}
+
+    if use_crf:
+        from cosa_tpu.eval.crf import crf_refine_host
+
+    n_total = len(test_ds) if max_images is None else min(max_images, len(test_ds))
+    for i in range(n_total):
+        smp = test_ds[i]
+        img = smp["image"]
+        h, w = img.shape[:2]
+        pad_i = pad if max(h, w) <= pad else -(-max(h, w) // 128) * 128
+        if pad_i not in step_cache:
+            step_cache[pad_i] = _build_eval_step(
+                cfg, model, pad_i, (), return_maps=not use_crf,
+                return_probs=use_crf,
+            )
+        step = step_cache[pad_i]
+
+        img_pad = np.zeros((1, pad_i, pad_i, 3), np.uint8)
+        img_pad[0, :h, :w] = img
+        gt_pad = np.full((1, pad_i, pad_i), 255, np.int32)
+        m_in_h = _pad_matrix(h, cfg.crop_size, pad_i)[None]
+        m_in_w = _pad_matrix(w, cfg.crop_size, pad_i)[None]
+        m_out_h = np.zeros((1, pad_i, cfg.crop_size), np.float32)
+        m_out_w = np.zeros((1, pad_i, cfg.crop_size), np.float32)
+        m_out_h[0, :h] = _linear_matrix(cfg.crop_size, h)
+        m_out_w[0, :w] = _linear_matrix(cfg.crop_size, w)
+        box = np.array([[0, h - 1, 0, w - 1]], np.int32)
+
+        outs = step(
+            params,
+            jnp.asarray(img_pad), jnp.asarray(gt_pad),
+            jnp.asarray(smp["cls_label"][None]),
+            jnp.asarray(m_in_h), jnp.asarray(m_in_w),
+            jnp.asarray(m_out_h), jnp.asarray(m_out_w),
+            jnp.asarray(box),
+        )
+        if use_crf:
+            probs = np.asarray(outs[1])[0, :h, :w]
+            pred = crf_refine_host(cfg, img, probs)
+        else:
+            pred = np.asarray(outs[1])[0, :h, :w]
+        save_seg(pred.astype(np.uint8), os.path.join(dst, smp["name"] + ".png"),
+                 cfg.num_classes)
+    return dst

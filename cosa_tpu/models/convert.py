@@ -66,9 +66,41 @@ def encoder_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
     return p
 
 
+def maskformer_params_from_torch(sd: Dict[str, Any], prefix: str = "decoder.") -> Dict:
+    """MaskTransformer decoder subtree from a reference ``--decoder
+    Maskformer`` state_dict (models/decoder/maskformer_head.py:99-164:
+    proj_dec linear, cls_emb, 2 Blocks, proj_patch/proj_classes matrices,
+    decoder_norm/mask_norm LayerNorms)."""
+    ln = lambda k: {"scale": _t(sd[prefix + k + ".weight"]),
+                    "bias": _t(sd[prefix + k + ".bias"])}
+    lin = lambda k: {"kernel": _t(sd[prefix + k + ".weight"]).T,
+                     "bias": _t(sd[prefix + k + ".bias"])}
+    p: Dict[str, Any] = {
+        "proj_dec": lin("proj_dec"),
+        "cls_emb": _t(sd[prefix + "cls_emb"]),
+        "proj_patch": _t(sd[prefix + "proj_patch"]),
+        "proj_classes": _t(sd[prefix + "proj_classes"]),
+        "decoder_norm": ln("decoder_norm"),
+        "mask_norm": ln("mask_norm"),
+    }
+    i = 0
+    while prefix + f"blocks.{i}.norm1.weight" in sd:
+        b = f"blocks.{i}."
+        p[f"blocks_{i}"] = {
+            "norm1": ln(b + "norm1"),
+            "norm2": ln(b + "norm2"),
+            "qkv": lin(b + "attn.qkv"),
+            "proj": lin(b + "attn.proj"),
+            "fc1": lin(b + "mlp.fc1"),
+            "fc2": lin(b + "mlp.fc2"),
+        }
+        i += 1
+    return p
+
+
 def network_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
     """Full CoSANetwork tree from a VITNetwork state_dict (reference
-    models/__init__.py:82-124 layout)."""
+    models/__init__.py:82-124 layout), either decoder flavor."""
     enc_sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
     out: Dict[str, Any] = {"encoder": encoder_params_from_torch(enc_sd, depth)}
     if "decoder.conv6.weight" in sd:  # LargeFOV
@@ -76,6 +108,8 @@ def network_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
             f"conv{i}": {"kernel": _t(sd[f"decoder.conv{i}.weight"]).transpose(2, 3, 1, 0)}
             for i in (6, 7, 8)
         }
+    elif "decoder.cls_emb" in sd:  # Maskformer
+        out["decoder"] = maskformer_params_from_torch(sd)
     out["classifier"] = _t(sd["classifier.weight"])[:, :, 0, 0].T
     out["aux_classifier"] = _t(sd["aux_classifier.weight"])[:, :, 0, 0].T
     return out

@@ -80,7 +80,10 @@ class MaskTransformer(nn.Module):
     patch_size: int
     d_model: int
     n_layers: int = 2
-    ln_eps: float = 1e-6
+    # torch-default LayerNorm eps: the reference head builds plain
+    # nn.LayerNorm (maskformer_head.py:73-76,133-134), unlike the ViT
+    # encoder's 1e-6
+    ln_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,7 +141,6 @@ class MaskTransformer(nn.Module):
             jnp.linalg.norm(cls_feat.astype(jnp.float32), axis=-1, keepdims=True)
         ).astype(self.dtype)
         masks = jnp.einsum("bnd,bcd->bnc", patches, cls_feat)
-        masks = nn.LayerNorm(dtype=jnp.float32, name="mask_norm")(
-            masks.astype(jnp.float32)
-        )
+        masks = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                             name="mask_norm")(masks.astype(jnp.float32))
         return masks.reshape(b, gh, gw, self.n_cls)

@@ -245,6 +245,10 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
                      threshold_filters=cfg.eval_threshold_filters,
                      max_images=fast_n)
 
+    # the reference writes the 0-based loop index here (main.py:377-378:
+    # `iters:{n_iter}` inside `if (n_iter+1) % eval_iters == 0`), i.e. one
+    # less than the 1-based iteration of the console prints — kept verbatim
+    # so log_val.txt diffs cleanly against the released logs
     val_log_lines = [f"iters:{n_iter - 1}"]
     for tag, res in (("ON", res_s), ("AN", res_t)):
         names = [k for k in res if k not in ("cls_aps",)]
@@ -322,6 +326,13 @@ def finaleval(cfg: Config) -> Dict:
     from cosa_tpu.data.loader import build_test_dataset
 
     test_ds = build_test_dataset(cfg)
+    if cfg.eval_split == "test":
+        # GT-less eval-server split: dump submission PNGs instead of scoring
+        from cosa_tpu.eval.submit import dump_submission
+
+        dst = dump_submission(cfg, model, params, test_ds, out_dir)
+        writer.print(f"wrote {len(os.listdir(dst))} submission PNGs to {dst}")
+        return {"submission_dir": dst}
     res = evaluate(cfg, model, params, test_ds, getcrf=True)
     cats = class_list(cfg.dataset)[: cfg.num_classes]
     names = [k for k in res if k != "cls_aps"]

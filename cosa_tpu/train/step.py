@@ -204,6 +204,10 @@ def build_train_step(
             state.teacher,
             new_student,
         )
+        # logged LR uses the pre-increment step index: the reference's
+        # PolyWarmupAdamW sets lr from global_step BEFORE incrementing it
+        # (torch_helper.py:275-293), and main.py reads param_groups[0]['lr']
+        # after step() — so the printed LR is schedule(step), not step+1
         metrics["lr"] = _current_lr(cfg, state.step)
         metrics["thre_low"] = jnp.asarray(threlow, jnp.float32)
         metrics["thre_high"] = jnp.asarray(threhigh, jnp.float32)

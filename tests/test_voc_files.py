@@ -33,11 +33,20 @@ def voc_root(tmp_path, monkeypatch):
             np.concatenate([voc_palette(256)]).flatten().tolist()
         )
         pimg.save(root / "SegmentationClassAug" / f"{name}.png")
+    # GT-less test-split images (VOC server submission path)
+    (root / "JPEGImages_test").mkdir()
+    test_names = []
+    for i in range(2):
+        name = f"2008_{i:06d}"
+        test_names.append(name)
+        img = rng.integers(0, 255, (240, 300 + 20 * i, 3)).astype(np.uint8)
+        Image.fromarray(img).save(root / "JPEGImages_test" / f"{name}.jpg")
     # temporary split dir with our names + a label dict
     split_dir = tmp_path / "splits" / "voc"
     split_dir.mkdir(parents=True)
     for split in ("train_aug", "val"):
         (split_dir / f"{split}.txt").write_text("\n".join(names))
+    (split_dir / "test.txt").write_text("\n".join(test_names))
     labels = {}
     for i, n in enumerate(names):
         oh = np.zeros(20, np.uint8)
@@ -72,3 +81,42 @@ def test_voc_val_dataset_from_files(voc_root):
     assert s["label"].shape == (290, 320)
     assert s["cls_label"][1] == 1
     assert (s["label"] == 2).any()  # class index preserved through PNG
+
+
+def test_voc_test_split_dataset(voc_root):
+    """GT-less test split: zero label canvas, all-ones cls vector."""
+    cfg = voc_config(data_root=voc_root, eval_split="test")
+    from cosa_tpu.data.loader import build_test_dataset
+
+    ds = build_test_dataset(cfg)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (240, 300, 3)
+    assert s["label"].shape == (240, 300) and not s["label"].any()
+    assert s["cls_label"].shape == (20,) and s["cls_label"].all()
+
+
+def test_submission_dump(voc_root, tmp_path):
+    """End-to-end eval-server artifact dump: one indexed-palette PNG per test
+    image in the VOC server directory layout, image-sized, classes < 21."""
+    from cosa_tpu.data.loader import build_test_dataset
+    from cosa_tpu.eval.submit import dump_submission, submission_dir
+    from cosa_tpu.models import build_model
+    from cosa_tpu.train import create_train_state
+
+    cfg = voc_config(
+        data_root=voc_root, eval_split="test", backbone="vit_tiny_test",
+        crop_size=64, mixed_precision=False, eval_scales=(1.0, 0.5),
+    )
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    ds = build_test_dataset(cfg)
+    out = tmp_path / "subm"
+    dst = dump_submission(cfg, model, state.student, ds, str(out), use_crf=False)
+    assert dst == submission_dir(str(out))
+    for i, name in enumerate(("2008_000000", "2008_000001")):
+        png = Image.open(os.path.join(dst, name + ".png"))
+        assert png.mode == "P"  # indexed palette, as the server requires
+        arr = np.asarray(png)
+        assert arr.shape == (240, 300 + 20 * i)
+        assert arr.max() < 21
