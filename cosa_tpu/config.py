@@ -90,6 +90,11 @@ class Config:
     gmmfilter_thre: float = 0.05
     gmmemadecay: float = 0.99
     gmm_em_iters: int = 100  # fixed EM iterations (sklearn's tol-loop is host-bound)
+    # measured (ops/gmm.py): fitting the mixture on every 8th queue point
+    # then assigning the full queue changes thresholds <2e-3 and cuts the
+    # GMM step cost ~7x. CUTTING ITERATIONS instead is NOT safe (10/25-iter
+    # EMA trajectories deviate 0.17/0.09 vs sklearn).
+    gmm_em_subsample: int = 8
     queue_update_ratio: int = 100
     par_downscale: int = 2
     usepar: bool = False
@@ -124,11 +129,12 @@ class Config:
 
     # ---- TPU-specific ----------------------------------------------------
     mixed_precision: bool = True  # bf16 activations/matmuls, f32 params/opt
-    # Pallas flash attention (kernels/flash.py). Off by default: measured on
-    # v5e at CoSA's sequence lengths (785/1765 tokens, bf16) XLA's fused
-    # attention is faster (3.1 vs 3.8 ms and 7.7 vs 9.1 ms fwd+bwd) — the
-    # kernel pays pad/layout overhead the compiler path doesn't.
-    flash_attention: bool = False
+    # Custom Pallas attention (kernels/flash.py): one-shot row-softmax
+    # kernel that keeps the (N, N) scores in VMEM. Measured on v5e (B=8,
+    # H=12, D=64, bf16) vs XLA's einsum+f32-softmax: N=1765 fwd 1.9 vs
+    # 4.1 ms, fwd+bwd 6.2 vs 10.3 ms; N=785 fwd 2.0 vs 3.5 ms. (The round-1
+    # wrapper around the STOCK pallas flash op lost to XLA and was dropped.)
+    flash_attention: bool = True
     dp: int = -1  # data-parallel mesh size (-1: all devices / tp)
     tp: int = 1  # tensor-parallel mesh size (model axis)
     donate: bool = True

@@ -66,12 +66,14 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.float32
     use_flash: bool = False
+    n_valid: Optional[int] = None  # tokens beyond this index are padding
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
+        nv = self.n_valid if (self.n_valid and self.n_valid < n) else None
         qkv = nn.Dense(
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
@@ -80,10 +82,13 @@ class Attention(nn.Module):
         if self.use_flash:
             from cosa_tpu.kernels.attention import flash_attention
 
-            o = flash_attention(q, k, v, scale=hd ** -0.5)
+            o = flash_attention(q, k, v, scale=hd ** -0.5, n_valid=nv)
         else:
             q = q * (hd ** -0.5)
             s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            if nv is not None:  # mask padded keys
+                key_ok = jnp.arange(n) < nv
+                s = jnp.where(key_ok[None, None, None, :], s, -1e30)
             p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(self.dtype)
             o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
         o = o.reshape(b, n, c)
@@ -110,6 +115,7 @@ class Block(nn.Module):
     ln_eps: float
     dtype: Any = jnp.float32
     use_flash: bool = False
+    n_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +123,8 @@ class Block(nn.Module):
         # LayerNorm in f32 for EMA-teacher stability over 32k+ steps
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(
-            self.num_heads, self.qkv_bias, self.dtype, self.use_flash, name="attn"
+            self.num_heads, self.qkv_bias, self.dtype, self.use_flash,
+            self.n_valid, name="attn"
         )(y.astype(self.dtype))
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(int(d * self.mlp_ratio), self.dtype, name="mlp")(
@@ -179,6 +186,16 @@ class VisionTransformer(nn.Module):
         )
         tok = tok + pos.astype(self.dtype)
 
+        # pad the token axis to a lane multiple: CoSA's counts (197/785/1765)
+        # are ragged; padding is free for the dense path (XLA flattens (B*N)
+        # for matmuls) and lets the attention kernel skip per-layer pad
+        # copies. Pad keys are masked inside attention via n_valid; pad rows
+        # carry garbage that is sliced off before the heads.
+        n_tok = gh * gw + 1
+        npp = -(-n_tok // 128) * 128
+        if npp != n_tok:
+            tok = jnp.pad(tok, ((0, 0), (0, npp - n_tok), (0, 0)))
+
         aux_idx = c.depth + self.aux_layer if self.aux_layer < 0 else self.aux_layer
         aux_tokens = None
         for i in range(c.depth):
@@ -189,12 +206,16 @@ class VisionTransformer(nn.Module):
                 c.ln_eps,
                 self.dtype,
                 self.use_flash,
+                n_tok if npp != n_tok else None,
                 name=f"blocks_{i}",
             )(tok)
             if i == aux_idx:
                 aux_tokens = tok
+        tok = tok[:, :n_tok]
         tok = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm")(tok)
         tok = tok.astype(self.dtype)
         if aux_tokens is None:  # aux tap at the final (normed) layer
             aux_tokens = tok
+        else:
+            aux_tokens = aux_tokens[:, :n_tok]
         return tok[:, 0], tok[:, 1:], aux_tokens[:, 1:]

@@ -35,6 +35,10 @@ from cosa_tpu.ops.bilateral import (
 from cosa_tpu.ops.image import denormalize_u8
 from cosa_tpu.ops.resize import resize_bilinear, resize_nearest
 
+# lattice-energy / exact-energy scale at training-shape statistics (see the
+# measurement note in _filter below)
+_LATTICE_CONVENTION = 0.62
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed,
@@ -53,9 +57,16 @@ def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed, half=False):
         out = exact_gaussian_filter(f, v)
     elif filter_kind == "rff":
         # fast approximation of the exact Gaussian transform, rescaled to the
-        # lattice's convention (lattice ~= exact / 1.94) so the 1e-7 loss
-        # weight keeps the reference's meaning (tests/test_permutohedral.py)
-        out = (1.0 / 1.94) * rff_gaussian_filter(
+        # lattice's convention so the 1e-7 loss weight keeps the reference's
+        # meaning. The lattice/exact energy ratio is feature-spread-dependent:
+        # ~0.52 at toy 16^2-24^2 shapes but 0.60/0.66/0.66 measured at the
+        # REAL training statistics (224^2/160^2/112^2 natural-statistics
+        # images, sigma_xy 50, sigma_rgb 15, vs the native C++ oracles;
+        # direction cos(lattice, exact) >= 0.998 throughout, and
+        # cos(rff_D=1024, lattice) = 0.986 at 224^2 — see
+        # tests/test_energy.py::test_rff_tracks_lattice_at_real_shape).
+        # The constant is calibrated for the shape training actually runs.
+        out = _LATTICE_CONVENTION * rff_gaussian_filter(
             f, v, n_features=rff_features, seed=rff_seed,
             dtype=jnp.bfloat16 if half else jnp.float32,
         )

@@ -99,7 +99,10 @@ def par_refine(
     offsets = [
         (dy * d, dx * d) for d in dilations for (dy, dx) in _OFFSETS
     ]
-
+    # NOTE(perf, measured on v5e at 224^2): per-shift small pads beat both a
+    # single max-dilation pad with static slices (23.5 vs 34 ms/refine) and
+    # a stacked (B,H,W,K,C) einsum (105 ms) — XLA fuses the per-shift
+    # slices into the multiply-add chain best in this form.
     def body(m, _):
         out = 0.0
         for k, (dy, dx) in enumerate(offsets):

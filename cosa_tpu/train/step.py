@@ -101,8 +101,10 @@ def build_train_step(
         if cfg.usegmm:
             q, ptr = _update_queue(gmm.queue, gmm.ptr, _gmm_maxrow(valid_cam, cfg.gmmscale))
             qa, _ = _update_queue(gmm.queue_aux, gmm.ptr, _gmm_maxrow(valid_cam_aux, cfg.gmmscale))
-            lo, hi = gmm_thresholds(q, cfg.gmmfilter_thre, 3, cfg.gmm_em_iters)
-            lo_a, hi_a = gmm_thresholds(qa, cfg.gmmfilter_thre, 3, cfg.gmm_em_iters)
+            lo, hi = gmm_thresholds(q, cfg.gmmfilter_thre, 3,
+                                    cfg.gmm_em_iters, cfg.gmm_em_subsample)
+            lo_a, hi_a = gmm_thresholds(qa, cfg.gmmfilter_thre, 3,
+                                        cfg.gmm_em_iters, cfg.gmm_em_subsample)
             d = cfg.gmmemadecay
             gmm = GMMState(
                 queue=q, queue_aux=qa, ptr=ptr,
