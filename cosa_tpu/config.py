@@ -38,6 +38,7 @@ class Config:
     eval_iters: int = 2000
     log_iters: int = 20  # reference hard-codes 20 (main.py:269)
     fasteval: bool = False
+    fasteval_n: int = 200  # seeded-random subset size when fasteval is on
     valfull: bool = False
     eval_threshold_filters: Optional[Tuple[float, ...]] = None
     eval_batch: int = 8  # val images per compiled eval call (reference: 1)

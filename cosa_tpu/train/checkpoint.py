@@ -44,18 +44,21 @@ def restore_state(directory: str, abstract_state: Any, step: Optional[int] = Non
 
 def save_best(directory: str, params: Any, comment: str, meta: dict) -> None:
     """Best-weights save (reference save_best, torch_helper.py:101-117):
-    {output_dir}/best_{comment}/ holds the winning params + metadata."""
-    if jax.process_index() != 0:
-        return
+    {output_dir}/best_{comment}/ holds the winning params + metadata.
+
+    MUST be called by ALL processes: orbax saves are collective (they
+    barrier via sync_global_processes); a rank-0-only call deadlocks a
+    multihost run — caught by tests/test_multiprocess.py. Orbax itself
+    writes from the primary host; only meta.json needs explicit gating."""
     path = os.path.abspath(os.path.join(directory, f"best_{comment}"))
     ckpt = ocp.StandardCheckpointer()
-    ocp.test_utils.erase_and_create_empty(path) if os.path.exists(path) else None
     ckpt.save(os.path.join(path, "params"), params, force=True)
     ckpt.wait_until_finished()
-    import json
+    if jax.process_index() == 0:
+        import json
 
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_best(directory: str, comment: str, abstract_params: Any) -> Any:

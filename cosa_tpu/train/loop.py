@@ -236,7 +236,7 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
 def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
                     best_seg, best_cam):
     cats = class_list(cfg.dataset)[: cfg.num_classes]
-    fast_n = 200 if cfg.fasteval else None
+    fast_n = cfg.fasteval_n if cfg.fasteval else None
 
     res_s = evaluate(cfg, model, state.student, val_ds,
                      threshold_filters=cfg.eval_threshold_filters,
@@ -277,10 +277,14 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
     cam_s = round(res_s["CAM"]["miou"] * 100, 2)
     cam_t = round(res_t["CAM"]["miou"] * 100, 2)
 
+    # NOTE: every process takes the same branch here (the metrics are
+    # allgather-reduced, so seg_s/seg_t/... are identical across ranks) and
+    # every process must enter save_best — orbax saves are collective
+    # (tests/test_multiprocess.py guards this).
     cmp_seg = [seg_s, seg_t, best_seg]
     win = int(np.argmax(cmp_seg))
     best_seg = max(cmp_seg)
-    if win != 2 and is_host0():
+    if win != 2:
         ckpt.save_best(
             out_dir, state.student if win == 0 else state.teacher, "seg",
             dict(s_or_t="s" if win == 0 else "t", iter=n_iter, result=best_seg),
@@ -288,7 +292,7 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
     cmp_cam = [cam_s, cam_t, best_cam]
     win = int(np.argmax(cmp_cam))
     best_cam = max(cmp_cam)
-    if win != 2 and is_host0():
+    if win != 2:
         ckpt.save_best(
             out_dir, state.student if win == 0 else state.teacher, "cam",
             dict(s_or_t="s" if win == 0 else "t", iter=n_iter, result=best_cam),

@@ -1,0 +1,64 @@
+"""Worker for the two-process multihost test (tests/test_multiprocess.py).
+
+Each OS process owns 2 virtual CPU devices and joins a jax.distributed
+cluster of 2 processes (4 global devices) — the CPU analogue of the
+reference's default torchrun 2-proc NCCL mode (utils/torch_helper.py:
+184-190). Runs 2 co-training steps + 1 dual validation, exercising:
+  * make_array_from_process_local_data batch assembly (train/loop.py),
+  * per-process loader sharding (data/loader.py),
+  * process_allgather confusion-matrix reduction (eval/engine.py),
+  * host-0-gated logging/checkpointing (utils/logging.py).
+
+Usage: mp_worker.py <coordinator_port> <process_id> <out_dir>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    from cosa_tpu.config import preset_config
+    from cosa_tpu.train.loop import train
+
+    cfg = preset_config(
+        "synthetic",
+        backbone="vit_tiny_test",
+        crop_size=64,
+        batch_size=1,  # per-device -> global batch 4, 2 per process
+        max_iters=2,
+        eval_iters=2,
+        log_iters=1,
+        warmup_iters=0,
+        lr_warmup_iters=1,
+        fasteval=True,
+        fasteval_n=6,
+        eval_scales=(1.0, 0.5),
+        mixed_precision=False,
+        finalval=False,
+        work_dir=out_dir,
+        name="mp",
+        checkpoint_keep=1,
+    )
+    results = train(cfg)
+    # every rank must agree on the metrics (allgather-reduced hists)
+    print(f"MP_OK pid={pid} best_seg={results['best_seg']:.4f} "
+          f"best_cam={results['best_cam']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
