@@ -89,14 +89,19 @@ class _BaseDataset:
     def _paths(self, name: str) -> Tuple[str, str]:
         raise NotImplementedError
 
-    def raw(self, idx: int) -> Tuple[str, np.ndarray, Optional[np.ndarray]]:
+    def raw(self, idx: int, want_label: bool = True
+            ) -> Tuple[str, np.ndarray, Optional[np.ndarray]]:
+        """``want_label=False`` skips the mask read — the training pipeline
+        only uses image-level labels (reference VOC12ClsDatasetNew never
+        opens SegmentationClassAug), so per-sample mask IO would be pure
+        waste and would wrongly require masks for every training image."""
         name = self.names[idx]
         img_path, lab_path = self._paths(name)
         image = np.asarray(Image.open(img_path).convert("RGB"))
         label = None
-        if self.stage in ("train", "val"):
+        if want_label and self.stage in ("train", "val"):
             label = np.asarray(Image.open(lab_path))
-        elif self.stage == "test":
+        elif want_label and self.stage == "test":
             label = image[:, :, 0]
         return name, image, label
 
@@ -176,7 +181,7 @@ class ClsTrainDataset:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx])
         )
-        name, image, _ = self.base.raw(idx)
+        name, image, _ = self.base.raw(idx, want_label=False)
         image = transforms.random_scaling(rng, image, scale_range=self.rescale_range)
         image = transforms.random_fliplr(rng, image)
         image, img_box = transforms.random_crop(
@@ -252,7 +257,7 @@ class SyntheticBase:
     def __len__(self):
         return self.length
 
-    def raw(self, idx: int):
+    def raw(self, idx: int, want_label: bool = True):
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, idx]))
         h = int(self.size[0] * rng.uniform(0.8, 1.2))
         w = int(self.size[1] * rng.uniform(0.8, 1.2))

@@ -110,24 +110,33 @@ class TrainLoader:
             epoch += 1
 
     def _feeder(self):
-        stream = self._index_stream()
-        for _ in range(self.skip_batches):
-            next(stream)
-        for epoch, idxs in stream:
-            if self._stop.is_set():
-                return
-            futures = [self.pool.submit(self.ds.__getitem__, (epoch, int(i))) for i in idxs]
-            samples = [f.result() for f in futures]
-            batch = dict(
-                wimg=np.stack([s["wimg"] for s in samples]),
-                simg=np.stack([s["simg"] for s in samples]),
-                cls_label=np.stack([s["cls_label"] for s in samples]),
-                img_box=np.stack([s["img_box"] for s in samples]),
-            )
+        try:
+            stream = self._index_stream()
+            for _ in range(self.skip_batches):
+                next(stream)
+            for epoch, idxs in stream:
+                if self._stop.is_set():
+                    return
+                futures = [self.pool.submit(self.ds.__getitem__, (epoch, int(i))) for i in idxs]
+                samples = [f.result() for f in futures]
+                batch = dict(
+                    wimg=np.stack([s["wimg"] for s in samples]),
+                    simg=np.stack([s["simg"] for s in samples]),
+                    cls_label=np.stack([s["cls_label"] for s in samples]),
+                    img_box=np.stack([s["img_box"] for s in samples]),
+                )
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface worker failures to the consumer
+            # (a silently-dead feeder would block __next__ forever)
             while not self._stop.is_set():
                 try:
-                    self.q.put(batch, timeout=0.5)
-                    break
+                    self.q.put(e, timeout=0.5)
+                    return
                 except queue.Full:
                     continue
 
@@ -135,7 +144,10 @@ class TrainLoader:
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        return self.q.get()
+        item = self.q.get()
+        if isinstance(item, BaseException):
+            raise RuntimeError("TrainLoader worker failed") from item
+        return item
 
     def close(self):
         self._stop.set()
@@ -145,6 +157,32 @@ class TrainLoader:
         except queue.Empty:
             pass
         self.pool.shutdown(wait=False)
+
+
+def pack_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pack a loader batch into TWO arrays for the host->device hop: the
+    relay/PCIe path pays a fixed per-transfer cost, so 4 transfers/step is
+    measurably slower than 2 (see train/loop.py put()). imgs stacks weak
+    and strong crops along batch; meta carries labels + img_box as f32."""
+    b = batch["wimg"].shape[0]
+    imgs = np.concatenate([batch["wimg"], batch["simg"]], axis=0)
+    meta = np.concatenate(
+        [batch["cls_label"].astype(np.float32),
+         batch["img_box"].astype(np.float32)], axis=1,
+    )
+    assert imgs.shape[0] == 2 * b
+    return dict(imgs=imgs, meta=meta)
+
+
+def unpack_batch(batch):
+    """Inverse of pack_batch, on device (jnp views). Accepts unpacked
+    dicts unchanged."""
+    if "imgs" not in batch:
+        return batch["wimg"], batch["simg"], batch["cls_label"], batch["img_box"]
+    imgs = batch["imgs"]
+    b = imgs.shape[0] // 2
+    meta = batch["meta"]
+    return (imgs[:b], imgs[b:], meta[:, :-4], meta[:, -4:].astype("int32"))
 
 
 def build_train_loader(cfg, per_process_batch: int, num_workers: Optional[int] = None,

@@ -143,8 +143,13 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
     box.update(state=state, iter=start_step)
 
     multihost = jax.process_count() > 1
+    from cosa_tpu.data.loader import pack_batch
 
     def put(local_batch):
+        # pack to 2 arrays first: the host->device hop pays a fixed
+        # per-transfer cost (pronounced over the relay), so 2 transfers
+        # beat 4 (data/loader.py pack_batch)
+        local_batch = pack_batch(local_batch)
         if multihost:
             # each process contributes its local shard of the global batch
             return jax.tree.map(

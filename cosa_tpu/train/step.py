@@ -80,10 +80,12 @@ def build_train_step(
         )
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        wimg = normalize(batch["wimg"])
-        simg = normalize(batch["simg"])
-        cls_label = batch["cls_label"].astype(jnp.float32)
-        img_box = batch["img_box"]
+        from cosa_tpu.data.loader import unpack_batch
+
+        wimg_u8, simg_u8, cls_label, img_box = unpack_batch(batch)
+        wimg = normalize(wimg_u8)
+        simg = normalize(simg_u8)
+        cls_label = cls_label.astype(jnp.float32)
         h, w = simg.shape[1:3]
 
         # ---- teacher TTA pseudo labels (no grad) -------------------------

@@ -117,3 +117,87 @@ def test_loader_skip_batches_continues_stream():
     b.close()
     np.testing.assert_array_equal(full[3]["wimg"], resumed[0]["wimg"])
     np.testing.assert_array_equal(full[4]["img_box"], resumed[1]["img_box"])
+
+
+def test_loader_surfaces_worker_failures():
+    """A dataset error must raise in the consumer, not hang the queue
+    (regression: the feeder thread used to die silently and __next__
+    blocked forever)."""
+    import pytest
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, key):
+            raise OSError("corrupt file")
+
+    from cosa_tpu.data.loader import TrainLoader
+
+    loader = TrainLoader(Boom(), batch_size=2, num_workers=2,
+                         process_index=0, process_count=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(loader)
+    loader.close()
+
+
+def test_pack_unpack_batch_roundtrip():
+    import numpy as np
+
+    from cosa_tpu.data.loader import pack_batch, unpack_batch
+
+    rng = np.random.default_rng(0)
+    batch = dict(
+        wimg=rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        simg=rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        cls_label=(rng.random((4, 20)) > 0.5).astype(np.float32),
+        img_box=rng.integers(0, 32, (4, 4)).astype(np.int32),
+    )
+    packed = pack_batch(batch)
+    assert set(packed) == {"imgs", "meta"}
+    w, s, cl, box = unpack_batch({k: np.asarray(v) for k, v in packed.items()})
+    np.testing.assert_array_equal(np.asarray(w), batch["wimg"])
+    np.testing.assert_array_equal(np.asarray(s), batch["simg"])
+    np.testing.assert_array_equal(np.asarray(cl), batch["cls_label"])
+    np.testing.assert_array_equal(np.asarray(box), batch["img_box"])
+    # unpacked dicts pass through unchanged
+    w2, s2, _, _ = unpack_batch(batch)
+    np.testing.assert_array_equal(w2, batch["wimg"])
+
+
+def test_train_dataset_needs_no_masks(tmp_path):
+    """Cls training reads only JPEGs + the label dict (reference
+    VOC12ClsDatasetNew never opens SegmentationClassAug) — a mask-less
+    tree must work."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from cosa_tpu.config import voc_config
+    from cosa_tpu.data.loader import build_train_dataset
+
+    root = tmp_path / "VOC2012"
+    (root / "JPEGImages").mkdir(parents=True)  # NO SegmentationClassAug
+    sdir = tmp_path / "splits" / "voc"
+    sdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = [f"2007_{i:06d}" for i in range(2)]
+    for n in names:
+        Image.fromarray(
+            rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+        ).save(root / "JPEGImages" / f"{n}.jpg")
+    (sdir / "train_aug.txt").write_text("\n".join(names))
+    labels = {}
+    for i, n in enumerate(names):
+        o = np.zeros(20, np.uint8)
+        o[i] = 1
+        labels[n] = o
+    np.save(sdir / "cls_labels_onehot.npy", labels)
+
+    cfg = voc_config(data_root=str(root), split_dir=str(tmp_path / "splits"),
+                     crop_size=64)
+    ds = build_train_dataset(cfg)
+    s = ds[(0, 1)]
+    assert s["wimg"].shape == (64, 64, 3)
+    assert s["cls_label"][1] == 1
