@@ -58,15 +58,22 @@ def _choose_bq(npp: int, cap: int) -> int:
     return 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0]  # (BQ, D), pre-scaled
+_LOG2E = 1.4426950408889634
+
+
+def _fwd_kernel(scale, q_ref, k_ref, v_ref, bias_ref, o_ref):
+    # q is raw; fold softmax-scale AND log2(e) into one (BQ, D) multiply so
+    # the softmax runs on exp2 (what the VPU natively evaluates — jnp.exp
+    # costs an extra full-pass multiply) and the caller never materializes
+    # a scaled copy of q through HBM.
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]  # (N, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s + bias_ref[:]  # additive pad mask (0 valid / -1e30 pad), one pass
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(q.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -75,18 +82,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
+def _bwd_kernel(scale, q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
                 dq_ref, dk_ref, dv_ref):
     qi = pl.program_id(1)
-    q = q_ref[0]  # pre-scaled
+    q = q_ref[0]  # raw (un-scaled)
+    qc = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qc, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s + bias_ref[:]
     m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     inv_l = 1.0 / jnp.sum(e, axis=1, keepdims=True)
     p = (e * inv_l).astype(q.dtype)  # normalized probs
 
@@ -103,21 +111,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
     )
     ds = (p.astype(jnp.float32) * (dp - delta)).astype(q.dtype)  # (BQ, N)
 
+    # s_natural = scale * (q_raw . k)  =>  dq_raw = scale * ds @ k and
+    # dk_raw = scale * ds^T @ q_raw; the scale lands on the small (.., D)
+    # outputs, never on the (BQ, N) tiles.
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BQ, D) — w.r.t. the PRE-SCALED q; caller folds the scale
+    )  # (BQ, D)
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # ds^T q: (N, D)
+    )  # ds^T q_raw: (N, D)
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
     @pl.when(qi == 0)
     def _():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0] += dk
+    dk_ref[0] += dk * scale
     dv_ref[0] += dv
 
 
@@ -144,8 +155,7 @@ def _attend_fwd(q, k, v, scale, n_valid):
     bh, n, d = q.shape
     npp = _round_up(n, 128)
     bq = _choose_bq(npp, cap=896)
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    qp, kp, vp = _pad_to(qs, npp), _pad_to(k, npp), _pad_to(v, npp)
+    qp, kp, vp = _pad_to(q, npp), _pad_to(k, npp), _pad_to(v, npp)
     grid = (bh, npp // bq)
     blk_q = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
@@ -154,7 +164,7 @@ def _attend_fwd(q, k, v, scale, n_valid):
     blk_bias = pl.BlockSpec((1, npp), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     o = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, scale),
         out_shape=jax.ShapeDtypeStruct((bh, npp, d), q.dtype),
         grid=grid,
         in_specs=[blk_q, blk_full, blk_full, blk_bias],
@@ -181,7 +191,7 @@ def _attend_bwd(scale, n_valid, res, g):
     blk_bias = pl.BlockSpec((1, npp), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, scale),
         out_shape=(
             jax.ShapeDtypeStruct((bh, npp, d), qp.dtype),
             jax.ShapeDtypeStruct((bh, npp, d), jnp.float32),
@@ -196,9 +206,11 @@ def _attend_bwd(scale, n_valid, res, g):
             transcendentals=bh * npp * npp,
         ),
     )(qp, kp, vp, gp, o, _bias(n_valid, npp))
-    # dq was computed w.r.t. the pre-scaled q
-    dq = (dq[:, :n].astype(jnp.float32) * scale).astype(qp.dtype)
-    return dq, dk[:, :n].astype(kp.dtype), dv[:, :n].astype(vp.dtype)
+    return (
+        dq[:, :n],
+        dk[:, :n].astype(kp.dtype),
+        dv[:, :n].astype(vp.dtype),
+    )
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)

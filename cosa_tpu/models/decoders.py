@@ -70,7 +70,9 @@ class _DecBlock(nn.Module):
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(o)
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(y.astype(self.dtype))
-        y = nn.gelu(y, approximate=False)
+        # exact erf gelu at f32, tanh under bf16 (see models/vit.py Mlp: the
+        # tanh deviation is below bf16 quantization and erf is VPU-expensive)
+        y = nn.gelu(y, approximate=(self.dtype == jnp.bfloat16))
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         return x + y
 

@@ -64,6 +64,7 @@ def multi_scale_camseg(
     imgs: jnp.ndarray,
     scales: Sequence[float],
     getcls: bool = False,
+    cam_dtype=jnp.float32,
 ):
     """Teacher TTA fuse (reference seg_helper.py:232-275 / v3 :399-450).
 
@@ -75,7 +76,17 @@ def multi_scale_camseg(
     Reference quirk preserved: ``cam_aux`` keeps only the LAST scale
     (seg_helper.py:258 rebinds the list instead of appending), so the fused
     cam_aux equals the final scale's flip-max — bit-compatible with the
-    released training runs.
+    released training runs. (Consequently the non-final scales' cam_aux
+    fusions are dead work and are skipped here outright.)
+
+    TPU notes: all output-side flips are folded into the resize
+    interpolation matrices (bit-exact, see ops/resize.py), so no 448^2
+    `rev` pass is ever materialized. ``cam_dtype=bfloat16`` (the train step
+    passes it under mixed precision) runs the CAM resize+fuse arithmetic in
+    bf16 — CAMs are consumed through 0.25/0.7 thresholds after min-max
+    normalization, so the ~0.4% rounding only perturbs pixels already within
+    a hair of a threshold. Seg logits always fuse in f32: they feed a
+    T=0.01 softmax (seg_refine_by_label) that amplifies logit noise 100x.
     """
     b, h, w, _ = imgs.shape
     assert 1.0 in tuple(scales), "scale 1.0 must be in scales"
@@ -84,20 +95,36 @@ def multi_scale_camseg(
     seg_sum = 0.0
     cls_sum = 0.0
     cls_aux_sum = 0.0
-    for s in scales:
-        x = imgs if s == 1.0 else resize_bilinear(imgs, scale_size(h, w, s))
-        xcat = jnp.concatenate([x, hflip(x)], axis=0)
+    for i, s in enumerate(scales):
+        if s == 1.0:
+            xcat = jnp.concatenate([imgs, hflip(imgs)], axis=0)
+        else:
+            sz = scale_size(h, w, s)
+            xcat = jnp.concatenate(
+                [resize_bilinear(imgs, sz), resize_bilinear(imgs, sz, flip_w=True)],
+                axis=0,
+            )
         out = forward(xcat)
-        cam = resize_bilinear(out["cam"].astype(jnp.float32), (h, w))
-        cam = jnp.maximum(cam[:b], hflip(cam[b:]))
-        cam_aux = resize_bilinear(out["cam_aux"].astype(jnp.float32), (h, w))
-        cam_aux = jnp.maximum(cam_aux[:b], hflip(cam_aux[b:]))
-        seg = resize_bilinear(out["seg"].astype(jnp.float32), (h, w))
-        seg = seg[:b] + hflip(seg[b:])
+        cam_raw = out["cam"].astype(cam_dtype)
+        cam = jnp.maximum(
+            resize_bilinear(cam_raw[:b], (h, w)),
+            resize_bilinear(cam_raw[b:], (h, w), flip_w=True),
+        )
+        seg_raw = out["seg"].astype(jnp.float32)
+        seg = resize_bilinear(seg_raw[:b], (h, w)) + resize_bilinear(
+            seg_raw[b:], (h, w), flip_w=True
+        )
 
         cam_sum = cam_sum + jax.nn.relu(cam)
-        cam_aux_last = jax.nn.relu(cam_aux)
         seg_sum = seg_sum + seg
+        if i == len(scales) - 1:
+            aux_raw = out["cam_aux"].astype(cam_dtype)
+            cam_aux_last = jax.nn.relu(
+                jnp.maximum(
+                    resize_bilinear(aux_raw[:b], (h, w)),
+                    resize_bilinear(aux_raw[b:], (h, w), flip_w=True),
+                )
+            )
         if getcls:
             cls_sum = cls_sum + out["cls"].astype(jnp.float32)[:b] + out[
                 "cls"
@@ -107,8 +134,8 @@ def multi_scale_camseg(
                 + out["cls_aux"].astype(jnp.float32)[:b]
                 + out["cls_aux"].astype(jnp.float32)[b:]
             )
-    cam = minmax_norm(cam_sum)
-    cam_aux = minmax_norm(cam_aux_last)
+    cam = minmax_norm(cam_sum).astype(jnp.float32)
+    cam_aux = minmax_norm(cam_aux_last).astype(jnp.float32)
     if getcls:
         return cam, cam_aux, seg_sum, cls_sum, cls_aux_sum
     return cam, cam_aux, seg_sum

@@ -76,8 +76,20 @@ def rff_embed(
     mantissa would alias them) and only the cosine output is stored reduced.
     """
     w, b = _rff_params(n_features, features.shape[-1], seed)
+    scale = float(np.sqrt(2.0 / n_features))
+    if jax.default_backend() == "tpu" and features.ndim == 3:
+        # fused Pallas projection+cos: the f32 (N, D) projection never
+        # reaches HBM (~6 ms/step saved at the training shape, see
+        # kernels/rff.py). Same math to cos rounding; internal row padding
+        # is sliced off before return.
+        from cosa_tpu.kernels.rff import rff_phi
+
+        return rff_phi(
+            features.astype(jnp.float32), jnp.asarray(w), jnp.asarray(b),
+            scale, dtype=dtype,
+        )
     proj = features.astype(jnp.float32) @ jnp.asarray(w) + jnp.asarray(b)
-    return (jnp.sqrt(2.0 / n_features) * jnp.cos(proj)).astype(dtype)
+    return (scale * jnp.cos(proj)).astype(dtype)
 
 
 def rff_gaussian_filter(

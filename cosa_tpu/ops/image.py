@@ -14,11 +14,17 @@ IMAGENET_MEAN = (123.675, 116.28, 103.53)
 IMAGENET_STD = (58.395, 57.12, 57.375)
 
 
-def normalize(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (or float 0-255) NHWC -> normalized f32."""
+def normalize(img_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (or float 0-255) NHWC -> normalized float.
+
+    Arithmetic is always f32; ``dtype=bfloat16`` only reduces the STORED
+    result — the exact quantization the model applies at its patch-embed
+    cast anyway — halving the traffic of every downstream resize/flip/concat
+    on the teacher TTA path.
+    """
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
-    return (img_u8.astype(jnp.float32) - mean) / std
+    return ((img_u8.astype(jnp.float32) - mean) / std).astype(dtype)
 
 
 def denormalize_u8(img: jnp.ndarray) -> jnp.ndarray:

@@ -24,9 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# interpolation weights are sub-1%-scale corrections; bf16 MXU passes visibly
-# shift CAM thresholds, so pin these small matmuls to f32.
-_PRECISION = jax.lax.Precision.HIGHEST
+# interpolation weights are sub-1%-scale corrections; single-pass bf16 MXU
+# passes visibly shift CAM thresholds, so these matmuls run at HIGH precision
+# (bf16x3 synthesis, 24 mantissa bits == f32 fidelity). HIGHEST (bf16x6,
+# f64-ish) costs 2x more MXU passes for precision far beyond the f32 inputs.
+_PRECISION = jax.lax.Precision.HIGH
 
 
 @functools.lru_cache(maxsize=512)
@@ -131,10 +133,22 @@ def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndar
     return y.astype(dt) if jnp.issubdtype(dt, jnp.floating) else y
 
 
-def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """NHWC bilinear resize, exact torch ``align_corners=False`` parity."""
+def resize_bilinear(
+    x: jnp.ndarray, size: Tuple[int, int], flip_w: bool = False
+) -> jnp.ndarray:
+    """NHWC bilinear resize, exact torch ``align_corners=False`` parity.
+
+    ``flip_w=True`` fuses a horizontal flip of the OUTPUT into the resize:
+    ``resize_bilinear(x, s, flip_w=True) == hflip(resize_bilinear(x, s))``
+    bit-exactly (the W interpolation matrix's rows are reversed, so the same
+    products are accumulated — only written to mirrored columns). The TTA
+    fuse uses this to kill the materialized `rev` passes on 448^2 tensors.
+    """
     h, w = x.shape[-3:-1] if x.ndim >= 3 else x.shape
-    return _apply_separable(x, _linear_matrix(h, size[0]), _linear_matrix(w, size[1]))
+    mw = _linear_matrix(w, size[1])
+    if flip_w:
+        mw = mw[::-1]
+    return _apply_separable(x, _linear_matrix(h, size[0]), mw)
 
 
 def resize_bilinear_ac(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

@@ -83,7 +83,13 @@ def build_train_step(
         from cosa_tpu.data.loader import unpack_batch
 
         wimg_u8, simg_u8, cls_label, img_box = unpack_batch(batch)
-        wimg = normalize(wimg_u8)
+        # teacher input stored bf16 under mixed precision (same values the
+        # model's patch-embed cast would produce; see ops/image.normalize);
+        # simg stays f32 — it also feeds the energy features and PAR.
+        wimg = normalize(
+            wimg_u8,
+            dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+        )
         simg = normalize(simg_u8)
         cls_label = cls_label.astype(jnp.float32)
         h, w = simg.shape[1:3]
@@ -91,7 +97,10 @@ def build_train_step(
         # ---- teacher TTA pseudo labels (no grad) -------------------------
         teacher_fwd = lambda x: model.apply({"params": state.teacher}, x)
         cam_ps, cam_aux_ps, seg_ps = jax.lax.stop_gradient(
-            multi_scale_camseg(teacher_fwd, wimg, cfg.pseudo_scales)
+            multi_scale_camseg(
+                teacher_fwd, wimg, cfg.pseudo_scales,
+                cam_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+            )
         )
 
         # ---- pseudo masks + adaptive thresholds (no grad) ----------------
