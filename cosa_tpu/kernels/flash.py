@@ -33,6 +33,14 @@ rows produce garbage that is sliced off (their dO is zero-padded, so they
 contribute nothing backward). When the ViT encoder pre-pads its token axis
 (models/vit.py), ``n_valid`` carries the true count and no pad copies are
 made here at all.
+
+Tried and REJECTED (r2): a packed-qkv variant whose BlockSpecs index
+head-strips of the raw (B, N, 3C) projection in place (to kill the ~5 ms
+of fold transposes/slices/bias adds around this kernel). Mosaic requires
+128-wide trailing blocks, so strips covered two heads; the strided
+(128 B rows, 4.6 KB stride) K/V DMAs ran SLOWER than the contiguous fold
+(1.75 ms vs ~1.0 ms at B=2/N=896) and each shape took >5 min to compile.
+The fold transposes stay.
 """
 
 from __future__ import annotations
