@@ -64,7 +64,11 @@ def _bilateral_exact_chunked(
     def body(i, out):
         rows = jax.lax.dynamic_slice_in_dim(fpad, i * chunk, chunk)
         rsq = jax.lax.dynamic_slice_in_dim(sq_pad, i * chunk, chunk)
-        d2 = rsq[:, None] + sq[None, :] - 2.0 * rows @ feats.T
+        # the cross term MUST be true f32: d2 is a catastrophic cancellation
+        # (terms up to ~1e4 cancelling to O(1)) and a default bf16 MXU pass
+        # carries +-tens of absolute error -> exp(-d2/2) garbage
+        cross = jnp.matmul(rows, feats.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = rsq[:, None] + sq[None, :] - 2.0 * cross
         g = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
         res = g @ values
         return jax.lax.dynamic_update_slice_in_dim(out, res, i * chunk, axis=0)
@@ -83,8 +87,7 @@ def _normalized_message(filter_fn, q: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     return msg * inv_sqrt
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _crf_padded(
+def _crf_core(
     img_pad: jnp.ndarray,  # (P, P, 3) f32 0-255
     probs_pad: jnp.ndarray,  # (P, P, C)
     valid: jnp.ndarray,  # (P, P) f32 {0,1}
@@ -135,6 +138,29 @@ def _crf_padded(
         logits = log_p + pos_w * m_pos + bi_w * m_bi
         q = jax.nn.softmax(logits, axis=-1) * vmask
     return jnp.argmax(q, axis=-1).astype(jnp.int32)
+
+
+_crf_padded = jax.jit(_crf_core, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+
+
+def crf_labels_device(cfg, img_pad, probs_pad, valid) -> jnp.ndarray:
+    """Batched device mean-field: img_pad (B, P, P, 3) f32 0-255, probs_pad
+    (B, P, P, C), valid (B, P, P) f32 -> (B, P, P) i32 refined labels.
+
+    Meant to be traced INSIDE the caller's jit (the eval step calls it right
+    after the TTA forward, so the softmax probs never leave the device —
+    the reference round-trips them to pydensecrf on host per image,
+    evaluation_engine.py:205-211). Uses the exact Gaussian transform at
+    ``cfg.crf_reduce``-reduced resolution — see crf_refine_host for the
+    host/parity alternatives.
+    """
+    fn = lambda i, p, v: _crf_core(
+        i, p, v,
+        int(cfg.crf_iter), float(cfg.crf_pos_w), float(cfg.crf_pos_xy),
+        float(cfg.crf_bi_w), float(cfg.crf_bi_xy), float(cfg.crf_bi_rgb),
+        int(max(cfg.crf_reduce, 2)),
+    )
+    return jax.vmap(fn)(img_pad, probs_pad, valid)
 
 
 def _np_spatial_filter(q: np.ndarray, sigma: float) -> np.ndarray:

@@ -54,18 +54,71 @@ def _pad_matrix(in_size: int, out_size: int, pad: int) -> np.ndarray:
     return m
 
 
+def _dev_interp_in(sizes: jnp.ndarray, out_size: int, pad: int) -> jnp.ndarray:
+    """Per-image (image -> crop) interpolation matrices built ON DEVICE from
+    the (B,) true sizes: returns (B, out_size, pad), zero beyond each image's
+    extent. Same torch align_corners=False sampling as ops/resize.py's
+    host-built matrices; ``src`` is computed as an exactly-representable
+    integer product divided once, so it is correctly rounded f32.
+
+    Shipping host-built matrices dominated eval wall-clock over the device
+    link (~29 MB/batch, 676 of 735 ms per 8-image batch measured on the
+    relay); from (h, w) scalars the build is a few broadcast compares.
+    """
+    o = jnp.arange(out_size, dtype=jnp.float32)[None]  # (1, S)
+    insz = sizes.astype(jnp.float32)[:, None]  # (B, 1)
+    src = ((2.0 * o + 1.0) * insz) / (2.0 * out_size) - 0.5
+    src = jnp.maximum(src, 0.0)
+    i0 = jnp.floor(src)
+    lam = src - i0
+    i0 = jnp.clip(i0, 0.0, insz - 1.0)
+    i1 = jnp.minimum(i0 + 1.0, insz - 1.0)
+    col = jnp.arange(pad, dtype=jnp.float32)[None, None]  # (1, 1, P)
+    m = jnp.where(col == i0[..., None], (1.0 - lam)[..., None], 0.0)
+    m = m + jnp.where(col == i1[..., None], lam[..., None], 0.0)
+    return m
+
+
+def _dev_interp_out(sizes: jnp.ndarray, in_size: int, pad: int) -> jnp.ndarray:
+    """Per-image (crop -> GT size) matrices on device: (B, pad, in_size),
+    rows at or beyond each image's size are zero."""
+    insz = sizes.astype(jnp.float32)[:, None]  # (B, 1)
+    o = jnp.arange(pad, dtype=jnp.float32)[None]  # (1, P)
+    src = ((2.0 * o + 1.0) * in_size) / 2.0 / jnp.maximum(insz, 1.0) - 0.5
+    src = jnp.maximum(src, 0.0)
+    i0 = jnp.floor(src)
+    lam = src - i0
+    i0 = jnp.clip(i0, 0.0, in_size - 1.0)
+    i1 = jnp.minimum(i0 + 1.0, in_size - 1.0)
+    col = jnp.arange(in_size, dtype=jnp.float32)[None, None]  # (1, 1, S)
+    m = jnp.where(col == i0[..., None], (1.0 - lam)[..., None], 0.0)
+    m = m + jnp.where(col == i1[..., None], lam[..., None], 0.0)
+    row_ok = o[..., None] < insz[..., None]
+    return m * row_ok
+
+
 def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
-                     return_maps: bool = False, return_probs: bool = False):
+                     return_maps: bool = False, return_probs: bool = False,
+                     getcrf: bool = False):
     n = cfg.num_classes
     s = cfg.crop_size
 
     @jax.jit
-    def eval_step(params, img_pad, gt_pad, cls_label, m_in_h, m_in_w, m_out_h, m_out_w, box):
+    def eval_step(params, img_pad, gt_pad, cls_label, hw):
         """Batched over B val images (the reference is locked to batch 1 per
         rank, evaluation_engine.py:75). img_pad: (B, P, P, 3) u8; gt_pad:
-        (B, P, P) i32 (255 outside + on pad rows); m_in_*: (B, S, P)
-        per-image image->crop matrices; m_out_*: (B, P, S) logits->GT
-        matrices; box: (B, 4) = [0, H-1, 0, W-1] per image."""
+        (B, P, P) u8 (255 outside + on pad rows); hw: (B, 2) i32 true sizes.
+        The per-image image->crop / logits->GT interpolation matrices and
+        the inside-image boxes are all derived from ``hw`` on device."""
+        m_in_h = _dev_interp_in(hw[:, 0], s, pad)
+        m_in_w = _dev_interp_in(hw[:, 1], s, pad)
+        m_out_h = _dev_interp_out(hw[:, 0], s, pad)
+        m_out_w = _dev_interp_out(hw[:, 1], s, pad)
+        box = jnp.stack(
+            [jnp.zeros_like(hw[:, 0]), hw[:, 0] - 1,
+             jnp.zeros_like(hw[:, 1]), hw[:, 1] - 1], axis=1
+        )
+        gt_pad = gt_pad.astype(jnp.int32)
         img = normalize(img_pad)
         img_s = jnp.einsum("bsh,bhwc->bswc", m_in_h, img)
         img_s = jnp.einsum("btw,bswc->bstc", m_in_w, img_s)
@@ -118,6 +171,26 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
                     thr_hists.append(jax_hist(gt_m, lab_m, n))
         thr = jnp.stack(thr_hists) if thr_hists else jnp.zeros((0, n, n), jnp.int32)
 
+        crf_h = jnp.zeros((0, n, n), jnp.int32)
+        if getcrf:
+            # DenseCRF refinement fully on device, batched — the reference
+            # fetches softmax probs to host and runs pydensecrf per image
+            # (evaluation_engine.py:205-211); over the device link that fetch
+            # alone is ~84 MB/batch. See eval/crf.py for backend options.
+            from cosa_tpu.eval.crf import crf_labels_device
+            from cosa_tpu.objectives.pseudo import box_mask
+
+            vd_probs = jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
+            valid = box_mask(
+                jnp.stack([jnp.zeros_like(hw[:, 0]), hw[:, 0],
+                           jnp.zeros_like(hw[:, 1]), hw[:, 1]], axis=1),
+                pad, pad,
+            ).astype(jnp.float32)
+            crf_label = crf_labels_device(
+                cfg, img_pad.astype(jnp.float32), vd_probs, valid
+            )
+            crf_h = jax_hist(gt_pad, crf_label, n)[None]
+
         probs = jax.nn.sigmoid(cls_f)
         probs_aux = jax.nn.sigmoid(cls_a)
         # everything scalar-ish packs into ONE f32 vector so the host needs a
@@ -127,33 +200,41 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
             [
                 hists.astype(jnp.float32).reshape(-1),
                 thr.astype(jnp.float32).reshape(-1),
+                crf_h.astype(jnp.float32).reshape(-1),
                 probs.reshape(-1),
                 probs_aux.reshape(-1),
             ]
         )
         extras = []
         if return_probs:
-            # valid seg probs for the CRF pass (softmax at GT size) — large,
-            # only materialized when actually needed
+            # valid seg probs for the host CRF backends (softmax at GT size)
+            # — large, only materialized when actually needed
             extras.append(
                 jax.nn.softmax(seg_validation(r_seg, cls_label), axis=-1)
             )
         if return_maps:
             extras.extend([seg_vd, r_cam])
+        if getcrf and return_maps:
+            extras.append(crf_label)  # per-image CRF maps (submission dumps)
         return (packed, *extras)
 
     return eval_step
 
 
-def _unpack(packed: np.ndarray, n: int, n_thr: int, ncls: int, b: int):
+def _unpack(packed: np.ndarray, n: int, n_thr: int, ncls: int, b: int,
+            has_crf: bool = False):
     h4 = packed[: 4 * n * n].reshape(4, n, n).astype(np.int64)
     off = 4 * n * n
     thr = packed[off : off + n_thr * n * n].reshape(n_thr, n, n).astype(np.int64)
     off += n_thr * n * n
+    crf = np.zeros((n, n), np.int64)
+    if has_crf:
+        crf = packed[off : off + n * n].reshape(n, n).astype(np.int64)
+        off += n * n
     probs = packed[off : off + b * ncls].reshape(b, ncls)
     off += b * ncls
     probs_aux = packed[off : off + b * ncls].reshape(b, ncls)
-    return h4, thr, probs, probs_aux
+    return h4, thr, crf, probs, probs_aux
 
 
 def evaluate(
@@ -190,11 +271,16 @@ def evaluate(
 
     pad = sizes[0]
     want_maps = bool(save_dir) or bool(save_rawcam_dir)
-    # per-image artifacts / CRF prob maps are large: batch only the pure
-    # metric path
-    bsz = 1 if (want_maps or getcrf) else int(getattr(cfg, "eval_batch", 8))
+    # default: CRF runs on device INSIDE the eval step (batched); the host
+    # backends ("native" C++ lattice / "jax" single-image) remain for
+    # full-resolution-lattice parity runs and fetch the prob maps instead
+    crf_on_device = getcrf and getattr(cfg, "crf_backend", "device") == "device"
+    host_crf = getcrf and not crf_on_device
+    # per-image artifacts / host-CRF prob maps are large: batch only the
+    # device-resident paths
+    bsz = 1 if (want_maps or host_crf) else int(getattr(cfg, "eval_batch", 8))
     eval_step = _build_eval_step(
-        cfg, model, pad, thresholds, want_maps, getcrf
+        cfg, model, pad, thresholds, want_maps, host_crf, crf_on_device
     )
     _step_cache: Dict = {}  # compiled programs for oversized pad buckets
 
@@ -204,7 +290,7 @@ def evaluate(
     aps_aux: List[float] = []
     crf_hist = np.zeros((n, n), np.int64)
 
-    if getcrf:
+    if host_crf:
         from cosa_tpu.eval.crf import crf_refine_host
 
     for c0 in range(0, len(local), bsz):
@@ -222,23 +308,23 @@ def evaluate(
             biggest = max(max(s["image"].shape[:2]) for s in samples)
             pad_i = -(-biggest // 128) * 128
         if pad_i != pad:
-            key = (pad_i, thresholds, want_maps, getcrf)
+            key = (pad_i, thresholds, want_maps, host_crf, crf_on_device)
             if key not in _step_cache:
                 _step_cache[key] = _build_eval_step(
-                    cfg, model, pad_i, thresholds, want_maps, getcrf
+                    cfg, model, pad_i, thresholds, want_maps, host_crf,
+                    crf_on_device,
                 )
             eval_step_i = _step_cache[key]
         else:
             eval_step_i = eval_step
 
+        # only raw bytes cross the host->device link: u8 images, u8 GT and
+        # the true sizes; the per-image interpolation matrices are built on
+        # device (shipping them dominated eval wall-clock: 29 MB/batch)
         img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
-        gt_pad = np.full((bsz, pad_i, pad_i), 255, np.int32)
+        gt_pad = np.full((bsz, pad_i, pad_i), 255, np.uint8)
         cls_labels = np.zeros((bsz, n - 1), np.float32)
-        m_in_h = np.zeros((bsz, cfg.crop_size, pad_i), np.float32)
-        m_in_w = np.zeros((bsz, cfg.crop_size, pad_i), np.float32)
-        m_out_h = np.zeros((bsz, pad_i, cfg.crop_size), np.float32)
-        m_out_w = np.zeros((bsz, pad_i, cfg.crop_size), np.float32)
-        box = np.zeros((bsz, 4), np.int32)
+        hw = np.zeros((bsz, 2), np.int32)
         for bi, smp in enumerate(samples):
             img, gt = smp["image"], smp["label"]
             h, w = img.shape[:2]
@@ -246,29 +332,23 @@ def evaluate(
             if bi < nvalid:  # padded duplicates contribute nothing
                 gt_pad[bi, :h, :w] = gt
             cls_labels[bi] = smp["cls_label"]
-            m_in_h[bi] = _pad_matrix(h, cfg.crop_size, pad_i)
-            m_in_w[bi] = _pad_matrix(w, cfg.crop_size, pad_i)
-            m_out_h[bi, :h] = _linear_matrix(cfg.crop_size, h)
-            m_out_w[bi, :w] = _linear_matrix(cfg.crop_size, w)
-            box[bi] = [0, h - 1, 0, w - 1]
+            hw[bi] = [h, w]
 
         outs = eval_step_i(
             params,
             jnp.asarray(img_pad),
             jnp.asarray(gt_pad),
             jnp.asarray(cls_labels),
-            jnp.asarray(m_in_h),
-            jnp.asarray(m_in_w),
-            jnp.asarray(m_out_h),
-            jnp.asarray(m_out_w),
-            jnp.asarray(box),
+            jnp.asarray(hw),
         )
-        hists, thr, probs, probs_aux = _unpack(
-            np.asarray(outs[0]), n, 2 * len(thresholds), n - 1, bsz
+        hists, thr, crf_h, probs, probs_aux = _unpack(
+            np.asarray(outs[0]), n, 2 * len(thresholds), n - 1, bsz,
+            has_crf=crf_on_device,
         )
+        crf_hist += crf_h
         extra_i = 1
         vd_probs = None
-        if getcrf:
+        if host_crf:
             vd_probs = np.asarray(outs[extra_i])
             extra_i += 1
         if want_maps:
@@ -311,7 +391,7 @@ def evaluate(
             if cl.sum() > 0:
                 aps += compute_mAP(cl[None], probs[bi : bi + 1])
                 aps_aux += compute_mAP(cl[None], probs_aux[bi : bi + 1])
-        if getcrf:
+        if host_crf:
             img, gt = samples[0]["image"], samples[0]["label"]
             h, w = img.shape[:2]
             pred_crf = crf_refine_host(cfg, img, vd_probs[0, :h, :w])

@@ -22,8 +22,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from cosa_tpu.eval.engine import _build_eval_step, _pad_matrix
-from cosa_tpu.ops.resize import _linear_matrix
+from cosa_tpu.eval.engine import _build_eval_step
 
 
 def submission_dir(out_dir: str, dataset: str = "VOC12") -> str:
@@ -55,7 +54,11 @@ def dump_submission(
     # engine's artifact path
     step_cache = {}
 
-    if use_crf:
+    # CRF backend mirrors the val engine: on-device (batched-capable, probs
+    # never leave the device) unless cfg.crf_backend selects a host path
+    crf_on_device = use_crf and getattr(cfg, "crf_backend", "device") == "device"
+    host_crf = use_crf and not crf_on_device
+    if host_crf:
         from cosa_tpu.eval.crf import crf_refine_host
 
     n_total = len(test_ds) if max_images is None else min(max_images, len(test_ds))
@@ -66,35 +69,31 @@ def dump_submission(
         pad_i = pad if max(h, w) <= pad else -(-max(h, w) // 128) * 128
         if pad_i not in step_cache:
             step_cache[pad_i] = _build_eval_step(
-                cfg, model, pad_i, (), return_maps=not use_crf,
-                return_probs=use_crf,
+                cfg, model, pad_i, (), return_maps=True,
+                return_probs=host_crf, getcrf=crf_on_device,
             )
         step = step_cache[pad_i]
 
         img_pad = np.zeros((1, pad_i, pad_i, 3), np.uint8)
         img_pad[0, :h, :w] = img
-        gt_pad = np.full((1, pad_i, pad_i), 255, np.int32)
-        m_in_h = _pad_matrix(h, cfg.crop_size, pad_i)[None]
-        m_in_w = _pad_matrix(w, cfg.crop_size, pad_i)[None]
-        m_out_h = np.zeros((1, pad_i, cfg.crop_size), np.float32)
-        m_out_w = np.zeros((1, pad_i, cfg.crop_size), np.float32)
-        m_out_h[0, :h] = _linear_matrix(cfg.crop_size, h)
-        m_out_w[0, :w] = _linear_matrix(cfg.crop_size, w)
-        box = np.array([[0, h - 1, 0, w - 1]], np.int32)
+        gt_pad = np.full((1, pad_i, pad_i), 255, np.uint8)
+        hw = np.array([[h, w]], np.int32)
 
         outs = step(
             params,
             jnp.asarray(img_pad), jnp.asarray(gt_pad),
             jnp.asarray(smp["cls_label"][None]),
-            jnp.asarray(m_in_h), jnp.asarray(m_in_w),
-            jnp.asarray(m_out_h), jnp.asarray(m_out_w),
-            jnp.asarray(box),
+            jnp.asarray(hw),
         )
-        if use_crf:
-            probs = np.asarray(outs[1])[0, :h, :w]
+        # extras: [probs?] seg_vd r_cam [crf_label?]
+        extra_i = 1
+        if host_crf:
+            probs = np.asarray(outs[extra_i])[0, :h, :w]
             pred = crf_refine_host(cfg, img, probs)
+        elif crf_on_device:
+            pred = np.asarray(outs[-1])[0, :h, :w]
         else:
-            pred = np.asarray(outs[1])[0, :h, :w]
+            pred = np.asarray(outs[extra_i])[0, :h, :w]
         save_seg(pred.astype(np.uint8), os.path.join(dst, smp["name"] + ".png"),
                  cfg.num_classes)
     return dst
