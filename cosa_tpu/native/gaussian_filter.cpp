@@ -14,7 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <unordered_map>
+
 #include <vector>
 
 #ifdef _OPENMP
@@ -45,20 +45,71 @@ void exact_rows(const float* feats, const float* vals, float* out, int n,
   }
 }
 
-struct KeyHash {
-  size_t operator()(const std::vector<int16_t>& key) const {
+// Open-addressing hash table over flat int16 keys. The first version of
+// this file used std::unordered_map<std::vector<int16_t>, int>: every probe
+// hashed a heap vector and every insert copied one, which made the lattice
+// ~50x slower than the splat/blur/slice arithmetic it feeds (6.6 s for a
+// 187k-pixel K=21 filter). Linear probing over contiguous key storage and a
+// precomputed blur-neighbor table bring it back to memory speed.
+class FlatTable {
+ public:
+  FlatTable(int d, size_t expect) : d_(d) {
+    cap_ = 64;
+    while (cap_ < expect * 2) cap_ <<= 1;
+    mask_ = cap_ - 1;
+    slots_.assign(cap_, -1);
+    keys_.reserve(expect * (size_t)d);
+  }
+  inline size_t hashk(const int16_t* k) const {
     size_t h = 14695981039346656037ull;
-    for (int16_t v : key) {
-      h ^= (size_t)(uint16_t)v;
+    for (int i = 0; i < d_; ++i) {
+      h ^= (size_t)(uint16_t)k[i];
       h *= 1099511628211ull;
     }
     return h;
   }
+  inline bool eq(const int16_t* a, const int16_t* b) const {
+    for (int i = 0; i < d_; ++i)
+      if (a[i] != b[i]) return false;
+    return true;
+  }
+  int find_or_insert(const int16_t* k) {
+    size_t s = hashk(k) & mask_;
+    while (true) {
+      int e = slots_[s];
+      if (e < 0) {
+        int idx = (int)(keys_.size() / (size_t)d_);
+        slots_[s] = idx;
+        keys_.insert(keys_.end(), k, k + d_);
+        return idx;
+      }
+      if (eq(keys_.data() + (size_t)e * d_, k)) return e;
+      s = (s + 1) & mask_;
+    }
+  }
+  int find(const int16_t* k) const {
+    size_t s = hashk(k) & mask_;
+    while (true) {
+      int e = slots_[s];
+      if (e < 0) return -1;
+      if (eq(keys_.data() + (size_t)e * d_, k)) return e;
+      s = (s + 1) & mask_;
+    }
+  }
+  int size() const { return (int)(keys_.size() / (size_t)d_); }
+  const int16_t* key(int i) const { return keys_.data() + (size_t)i * d_; }
+
+ private:
+  int d_;
+  size_t cap_, mask_;
+  std::vector<int> slots_;
+  std::vector<int16_t> keys_;
 };
 
 class Lattice {
  public:
-  Lattice(int n, int d) : n_(n), d_(d), dp1_(d + 1) {
+  Lattice(int n, int d)
+      : n_(n), d_(d), dp1_(d + 1), table_(d, (size_t)n * (d + 1)) {
     offsets_.assign((size_t)n * dp1_, -1);
     bary_.assign((size_t)n * dp1_, 0.f);
   }
@@ -131,18 +182,27 @@ class Lattice {
         for (int i = 0; i < d; ++i)
           key[i] =
               (int16_t)(rem0[i] + (rank[i] >= dp1 - r ? r - dp1 : r));
-        auto it = table_.find(key);
-        int idx;
-        if (it == table_.end()) {
-          idx = (int)table_.size();
-          table_.emplace(key, idx);
-          keys_.push_back(key);
-        } else {
-          idx = it->second;
-        }
+        int idx = table_.find_or_insert(key.data());
         offsets_[(size_t)p * dp1 + r] = idx;
         bary_[(size_t)p * dp1 + r] = bary[r];
       }
+    }
+
+    // blur-neighbor table: (m, d+1, 2) entry indices, built once so the
+    // d+1 blur passes are pure array walks (no hashing in the hot loop)
+    const int m = table_.size();
+    nbr_.assign((size_t)m * dp1 * 2, -1);
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < m; ++i) {
+      std::vector<int16_t> nkey(d);
+      const int16_t* k = table_.key(i);
+      for (int a = 0; a <= d; ++a)
+        for (int s = 0; s < 2; ++s) {
+          const int sgn = s == 0 ? -1 : 1;
+          for (int t = 0; t < d; ++t)
+            nkey[t] = (int16_t)(k[t] + sgn * (t == a ? -d : 1));
+          nbr_[((size_t)i * dp1 + a) * 2 + s] = table_.find(nkey.data());
+        }
     }
   }
 
@@ -161,22 +221,19 @@ class Lattice {
         for (int c = 0; c < k; ++c) l[c] += w * v[c];
       }
 
-    // blur along each lattice direction with a [1/2, 1, 1/2] stencil
+    // blur along each lattice direction with a [1/2, 1, 1/2] stencil,
+    // walking the precomputed neighbor table
     std::vector<float> next((size_t)m * k);
-    std::vector<int16_t> nkey(d);
     for (int a = 0; a <= d; ++a) {
-#pragma omp parallel for schedule(static) firstprivate(nkey)
+#pragma omp parallel for schedule(static)
       for (int i = 0; i < m; ++i) {
-        const std::vector<int16_t>& key = keys_[i];
         float* dst = next.data() + (size_t)i * k;
         const float* src = lattice.data() + (size_t)i * k;
         for (int c = 0; c < k; ++c) dst[c] = src[c];
-        for (int sgn = -1; sgn <= 1; sgn += 2) {
-          for (int t = 0; t < d; ++t)
-            nkey[t] = (int16_t)(key[t] + sgn * (t == a ? -d : 1));
-          auto it = table_.find(nkey);
-          if (it != table_.end()) {
-            const float* nv = lattice.data() + (size_t)it->second * k;
+        const int* nb = nbr_.data() + ((size_t)i * dp1 + a) * 2;
+        for (int s = 0; s < 2; ++s) {
+          if (nb[s] >= 0) {
+            const float* nv = lattice.data() + (size_t)nb[s] * k;
             for (int c = 0; c < k; ++c) dst[c] += 0.5f * nv[c];
           }
         }
@@ -201,8 +258,8 @@ class Lattice {
 
  private:
   int n_, d_, dp1_;
-  std::unordered_map<std::vector<int16_t>, int, KeyHash> table_;
-  std::vector<std::vector<int16_t>> keys_;
+  FlatTable table_;
+  std::vector<int> nbr_;
   std::vector<int> offsets_;
   std::vector<float> bary_;
 };
