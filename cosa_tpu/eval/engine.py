@@ -248,6 +248,7 @@ def evaluate(
     max_images: Optional[int] = None,
     save_dir: Optional[str] = None,
     save_rawcam_dir: Optional[str] = None,
+    mesh=None,
 ) -> Dict:
     """Returns {'CAM': score, 'aux_CAM': ..., 'Seg_ps': ..., 'Seg_vd': ...,
     'cls_aps': (mAP, mAP_aux), [thresholded pseudo scores], ['Seg_crf']}."""
@@ -279,6 +280,28 @@ def evaluate(
     # per-image artifacts / host-CRF prob maps are large: batch only the
     # device-resident paths
     bsz = 1 if (want_maps or host_crf) else int(getattr(cfg, "eval_batch", 8))
+
+    # shard the image batch over the local mesh's data axis: a plain jit
+    # would pin eval to ONE device of a multi-chip host (the train step is
+    # SPMD but the reference-style eval loop is not automatically so).
+    # Multi-PROCESS runs already shard by image (idxs[pidx::pcnt]) — there
+    # the global mesh does not describe this process's private batch, so
+    # mesh sharding applies to single-process (multi-device) runs only.
+    in_shard = None
+    if (
+        mesh is not None
+        and jax.process_count() == 1
+        and not (want_maps or host_crf)
+    ):
+        ndata = int(mesh.shape.get("data", 1))
+        if ndata > 1:
+            bsz = max(bsz, ndata)
+            bsz = -(-bsz // ndata) * ndata
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            in_shard = lambda nd: NamedSharding(
+                mesh, PartitionSpec(*(["data"] + [None] * (nd - 1)))
+            )
     eval_step = _build_eval_step(
         cfg, model, pad, thresholds, want_maps, host_crf, crf_on_device
     )
@@ -334,13 +357,14 @@ def evaluate(
             cls_labels[bi] = smp["cls_label"]
             hw[bi] = [h, w]
 
-        outs = eval_step_i(
-            params,
-            jnp.asarray(img_pad),
-            jnp.asarray(gt_pad),
-            jnp.asarray(cls_labels),
-            jnp.asarray(hw),
-        )
+        dev_in = [img_pad, gt_pad, cls_labels, hw]
+        if in_shard is not None:
+            dev_in = [
+                jax.device_put(a, in_shard(a.ndim)) for a in dev_in
+            ]
+        else:
+            dev_in = [jnp.asarray(a) for a in dev_in]
+        outs = eval_step_i(params, *dev_in)
         hists, thr, crf_h, probs, probs_aux = _unpack(
             np.asarray(outs[0]), n, 2 * len(thresholds), n - 1, bsz,
             has_crf=crf_on_device,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,14 +26,24 @@ def fast_hist(label_true: np.ndarray, label_pred: np.ndarray, n: int) -> np.ndar
 
 
 def jax_hist(gt: jnp.ndarray, pred: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Device-side confusion matrix: same semantics as fast_hist, built with
-    a segment-sum (gt values outside [0, n) — e.g. ignore 255 — are dropped)."""
+    """Device-side confusion matrix: same semantics as fast_hist (gt values
+    outside [0, n) — e.g. ignore 255 — are dropped).
+
+    Built as one_hot(gt)^T @ one_hot(pred) so it lands on the MXU: the
+    scatter-add formulation serializes on TPU and cost ~70 ms/batch of eval
+    (4 hists over 8x500^2 maps); the matmul runs in ~1 ms. f32 accumulation
+    is exact for counts < 2^24 — far above any per-call pixel count here
+    (the host accumulates across calls in int64)."""
     gt = gt.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
     valid = (gt >= 0) & (gt < n)
-    idx = jnp.where(valid, n * gt + jnp.clip(pred, 0, n - 1), n * n)
-    counts = jnp.zeros((n * n + 1,), jnp.int32).at[idx].add(1)
-    return counts[: n * n].reshape(n, n)
+    cls = jnp.arange(n, dtype=jnp.int32)
+    a = ((gt[:, None] == cls) & valid[:, None]).astype(jnp.float32)
+    b = (pred[:, None] == cls).astype(jnp.float32)
+    hist = jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return hist.astype(jnp.int32)
 
 
 def scores_from_hist(hist: np.ndarray) -> Dict:

@@ -102,7 +102,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         _train_body(
             cfg, model, state, step_fn, loader, val_ds, bshard, writer,
             out_dir, ckpt_dir, meter, pending, start_step, total, t0,
-            results_box := {},
+            results_box := {}, mesh,
         )
     except BaseException:
         try:
@@ -135,7 +135,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
 
 def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
                 out_dir, ckpt_dir, meter, pending, start_step, total, t0,
-                box):
+                box, mesh=None):
     best_seg, best_cam = -1.0, -1.0
     results = {}
     global_batch = cfg.batch_size * (jax.device_count() // max(cfg.tp, 1))
@@ -230,7 +230,7 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
         if (n_iter + 1) % cfg.eval_iters == 0:
             results, best_seg, best_cam = _run_validation(
                 cfg, model, state, val_ds, writer, n_iter + 1, out_dir,
-                best_seg, best_cam,
+                best_seg, best_cam, mesh=mesh,
             )
             ckpt.save_state(ckpt_dir, state, n_iter + 1, cfg.checkpoint_keep)
 
@@ -239,16 +239,16 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
 
 
 def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
-                    best_seg, best_cam):
+                    best_seg, best_cam, mesh=None):
     cats = class_list(cfg.dataset)[: cfg.num_classes]
     fast_n = cfg.fasteval_n if cfg.fasteval else None
 
     res_s = evaluate(cfg, model, state.student, val_ds,
                      threshold_filters=cfg.eval_threshold_filters,
-                     max_images=fast_n)
+                     max_images=fast_n, mesh=mesh)
     res_t = evaluate(cfg, model, state.teacher, val_ds,
                      threshold_filters=cfg.eval_threshold_filters,
-                     max_images=fast_n)
+                     max_images=fast_n, mesh=mesh)
 
     # the reference writes the 0-based loop index here (main.py:377-378:
     # `iters:{n_iter}` inside `if (n_iter+1) % eval_iters == 0`), i.e. one
@@ -342,7 +342,12 @@ def finaleval(cfg: Config) -> Dict:
         dst = dump_submission(cfg, model, params, test_ds, out_dir)
         writer.print(f"wrote {len(os.listdir(dst))} submission PNGs to {dst}")
         return {"submission_dir": dst}
-    res = evaluate(cfg, model, params, test_ds, getcrf=True)
+    mesh = make_mesh(cfg.dp, cfg.tp)
+    if mesh.shape["data"] > 1:  # SPMD final eval on multi-chip hosts
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+    res = evaluate(cfg, model, params, test_ds, getcrf=True, mesh=mesh)
     cats = class_list(cfg.dataset)[: cfg.num_classes]
     names = [k for k in res if k != "cls_aps"]
     writer.print("Final Model Result:\n" + format_iou_table(

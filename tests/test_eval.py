@@ -94,3 +94,31 @@ def test_batched_eval_equals_single_eval():
     for k in ("CAM", "aux_CAM", "Seg_ps", "Seg_vd"):
         assert a[k]["miou"] == pytest.approx(b[k]["miou"], abs=1e-4), k
     assert a["cls_aps"][0] == pytest.approx(b["cls_aps"][0], abs=1e-6)
+
+
+def test_sharded_eval_matches_unsharded():
+    """evaluate(mesh=...) shards the image batch over the mesh's data axis
+    (SPMD eval on multi-chip hosts) and must reproduce the plain-jit result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from cosa_tpu.parallel import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    base = dict(
+        backbone="vit_tiny_test", crop_size=64, mixed_precision=False,
+        flash_attention=False, eval_scales=(1.0, 0.5), eval_batch=4,
+    )
+    cfg = preset_config("synthetic", **base)
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    ds = build_val_dataset(cfg)
+    mesh = make_mesh(dp=jax.device_count() // 2, tp=2)
+    params = jax.device_put(
+        state.student, NamedSharding(mesh, PartitionSpec())
+    )
+    a = evaluate(cfg, model, state.student, ds, max_images=6)
+    b = evaluate(cfg, model, params, ds, max_images=6, mesh=mesh)
+    for k in ("CAM", "aux_CAM", "Seg_ps", "Seg_vd"):
+        assert a[k]["miou"] == pytest.approx(b[k]["miou"], abs=1e-4), k

@@ -39,7 +39,8 @@ def test_short_training_run_with_eval_and_resume(tmp_path):
 
     orig = loop_mod._run_validation
 
-    def fast_val(cfg, model, state, val_ds, writer, n_iter, out_dir, bs, bc):
+    def fast_val(cfg, model, state, val_ds, writer, n_iter, out_dir, bs, bc,
+                 mesh=None):
         from cosa_tpu.eval.engine import evaluate
         from cosa_tpu.train import checkpoint as ckpt
         res = evaluate(cfg, model, state.student, val_ds, max_images=2)
