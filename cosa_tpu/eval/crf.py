@@ -98,6 +98,7 @@ def _crf_core(
     bi_xy: float,
     bi_rgb: float,
     reduce: int,
+    use_lattice: bool = True,
 ):
     p = img_pad.shape[0]
     c = probs_pad.shape[-1]
@@ -112,7 +113,7 @@ def _crf_core(
     feats = jnp.stack([xs / bi_xy, ys / bi_xy], axis=-1)
     feats = jnp.concatenate([feats, img_r / bi_rgb], axis=-1).reshape(rp * rp, 5)
 
-    if reduce == 1:
+    if reduce == 1 and use_lattice:
         from cosa_tpu.ops.permutohedral import permutohedral_filter
 
         def bilateral_full(qmap):  # (P, P, C or 1), full-res lattice
@@ -121,7 +122,10 @@ def _crf_core(
 
     else:
 
-        def bilateral_full(qmap):  # exact matmul at reduced res
+        def bilateral_full(qmap):  # exact matmul at 1/reduce res
+            if reduce == 1:
+                out = _bilateral_exact_chunked(feats, qmap.reshape(p * p, -1))
+                return out.reshape(p, p, -1)
             qr = resize_bilinear(qmap[None], (rp, rp))[0]
             out = _bilateral_exact_chunked(feats, qr.reshape(rp * rp, -1))
             out = out.reshape(rp, rp, -1)
@@ -140,7 +144,7 @@ def _crf_core(
     return jnp.argmax(q, axis=-1).astype(jnp.int32)
 
 
-_crf_padded = jax.jit(_crf_core, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+_crf_padded = jax.jit(_crf_core, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 
 
 def crf_labels_device(cfg, img_pad, probs_pad, valid) -> jnp.ndarray:
@@ -151,14 +155,16 @@ def crf_labels_device(cfg, img_pad, probs_pad, valid) -> jnp.ndarray:
     after the TTA forward, so the softmax probs never leave the device —
     the reference round-trips them to pydensecrf on host per image,
     evaluation_engine.py:205-211). Uses the exact Gaussian transform at
-    ``cfg.crf_reduce``-reduced resolution — see crf_refine_host for the
-    host/parity alternatives.
+    ``cfg.crf_reduce``-reduced resolution (crf_reduce=1 runs the exact
+    O(N^2) transform at FULL resolution — more faithful than any lattice,
+    but ~16x the default's cost) — see crf_refine_host for the host/parity
+    alternatives.
     """
     fn = lambda i, p, v: _crf_core(
         i, p, v,
         int(cfg.crf_iter), float(cfg.crf_pos_w), float(cfg.crf_pos_xy),
         float(cfg.crf_bi_w), float(cfg.crf_bi_xy), float(cfg.crf_bi_rgb),
-        int(max(cfg.crf_reduce, 2)),
+        int(cfg.crf_reduce), False,  # exact transform at every reduce
     )
     return jax.vmap(fn)(img_pad, probs_pad, valid)
 
@@ -214,16 +220,25 @@ def crf_refine_host(cfg, img: np.ndarray, probs: np.ndarray) -> np.ndarray:
     """img: (H, W, 3) uint8; probs: (H, W, C) softmax seg probs.
     Returns the refined (H, W) int label map.
 
-    Dispatch: host C++ lattice when available (fast path for final eval,
-    like the reference's pydensecrf); otherwise the jitted JAX mean-field
-    (full-res lattice or reduced-res exact, per ``crf_reduce``)."""
-    try:
-        from cosa_tpu.native.build import load_native
+    Dispatch honors ``cfg.crf_backend``:
+      * "native": host C++ lattice at full res (pydensecrf's division of
+        labor) — raises if the native library cannot be built, rather than
+        silently producing numbers from a different backend;
+      * "jax": jitted single-image mean-field (full-res lattice when
+        crf_reduce == 1, else exact transform at 1/crf_reduce res);
+      * "device" callers never reach this function (the eval step refines
+        in-jit via crf_labels_device), but if called directly it behaves
+        like "native" with a "jax" fallback."""
+    backend = getattr(cfg, "crf_backend", "device")
+    if backend in ("native", "device"):
+        try:
+            from cosa_tpu.native.build import load_native
 
-        load_native()
-        return crf_refine_native(cfg, img, probs)
-    except Exception:
-        pass
+            load_native()
+            return crf_refine_native(cfg, img, probs)
+        except Exception:
+            if backend == "native":
+                raise
     h, w = img.shape[:2]
     pad = 500 if cfg.dataset == "VOC12" else 640
     pad = max(pad, h, w)

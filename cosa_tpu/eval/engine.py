@@ -42,16 +42,6 @@ from cosa_tpu.objectives.pseudo import (
     seg_validation,
 )
 from cosa_tpu.ops.image import normalize
-from cosa_tpu.ops.resize import _linear_matrix
-
-
-def _pad_matrix(in_size: int, out_size: int, pad: int) -> np.ndarray:
-    """(out, in) torch-parity bilinear matrix zero-padded to (out, pad) cols
-    or (pad, out) rows as needed by the caller."""
-    m = _linear_matrix(in_size, out_size)
-    if m.shape[1] < pad:
-        m = np.pad(m, ((0, 0), (0, pad - m.shape[1])))
-    return m
 
 
 def _dev_interp_in(sizes: jnp.ndarray, out_size: int, pad: int) -> jnp.ndarray:

@@ -32,18 +32,29 @@ def jax_hist(gt: jnp.ndarray, pred: jnp.ndarray, n: int) -> jnp.ndarray:
     Built as one_hot(gt)^T @ one_hot(pred) so it lands on the MXU: the
     scatter-add formulation serializes on TPU and cost ~70 ms/batch of eval
     (4 hists over 8x500^2 maps); the matmul runs in ~1 ms. f32 accumulation
-    is exact for counts < 2^24 — far above any per-call pixel count here
-    (the host accumulates across calls in int64)."""
+    is exact only below 2^24 counts per cell, so the pixels are processed
+    in <= 2^22-element slices whose partial hists sum in int32 (exact) —
+    correct for any batch/pad size without a silent-rounding cliff."""
     gt = gt.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
+    chunk = 1 << 22
+    if gt.size > chunk:
+        pad = (-gt.size) % chunk
+        if pad:
+            gt = jnp.pad(gt, (0, pad), constant_values=n)  # n: invalid, dropped
+            pred = jnp.pad(pred, (0, pad))
+        gt = gt.reshape(-1, chunk)
+    else:
+        gt = gt.reshape(1, -1)
+    pred = pred.reshape(gt.shape)
     valid = (gt >= 0) & (gt < n)
     cls = jnp.arange(n, dtype=jnp.int32)
-    a = ((gt[:, None] == cls) & valid[:, None]).astype(jnp.float32)
-    b = (pred[:, None] == cls).astype(jnp.float32)
+    a = ((gt[..., None] == cls) & valid[..., None]).astype(jnp.float32)
+    b = (pred[..., None] == cls).astype(jnp.float32)
     hist = jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    return hist.astype(jnp.int32)
+        a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (slices, n, n), each exact in f32
+    return jnp.sum(hist.astype(jnp.int32), axis=0)
 
 
 def scores_from_hist(hist: np.ndarray) -> Dict:

@@ -124,6 +124,11 @@ class PatchEmbed(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
         )
+        if h != gh * p or w != gw * p:
+            # stride-p VALID conv semantics: trailing partial rows/cols are
+            # dropped (happens for TTA scales whose size is not a multiple
+            # of the patch size, e.g. 448 * 0.7 = 313)
+            x = x[:, : gh * p, : gw * p]
         x = x.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
         wmat = kernel.reshape(p * p * c, self.embed_dim).astype(self.dtype)
