@@ -99,10 +99,16 @@ def par_refine(
     offsets = [
         (dy * d, dx * d) for d in dilations for (dy, dx) in _OFFSETS
     ]
-    # NOTE(perf, measured on v5e at 224^2): per-shift small pads beat both a
-    # single max-dilation pad with static slices (23.5 vs 34 ms/refine) and
-    # a stacked (B,H,W,K,C) einsum (105 ms) — XLA fuses the per-shift
-    # slices into the multiply-add chain best in this form.
+    # NOTE(perf, measured on v5e at 224^2): among XLA lowerings, per-shift
+    # small pads beat both a single max-dilation pad with static slices
+    # (23.5 vs 34 ms/refine) and a stacked (B,H,W,K,C) einsum (105 ms) —
+    # XLA fuses the per-shift slices into the multiply-add chain best here.
+    # Tried and REJECTED (r2): a Pallas kernel fusing ALL sweeps in VMEM
+    # (channel-chunk grid, replicated-halo scratch, bf16 affinities). It
+    # removed the per-sweep HBM traffic but the in-VMEM +-24-lane shifted
+    # reads dominate: 61 vs 79 ms per 10-sweep refine, a >5 min Mosaic
+    # compile per shape, and 1.6% drift from bf16 affinities compounding
+    # across sweeps. The XLA form stays.
     def body(m, _):
         out = 0.0
         for k, (dy, dx) in enumerate(offsets):

@@ -99,3 +99,4 @@ def test_gmm_thresholds_close_to_sklearn():
     assert abs(float(low) - ref_low) < 0.05, (float(low), ref_low)
     assert abs(float(high) - ref_high) < 0.05, (float(high), ref_high)
     assert float(low) < float(high)
+
