@@ -100,8 +100,19 @@ def multi_scale_camseg(
             xcat = jnp.concatenate([imgs, hflip(imgs)], axis=0)
         else:
             sz = scale_size(h, w, s)
+            # bf16 images (mixed precision) resize in one bf16 MXU pass:
+            # they are already bf16-quantized and feed the model's own bf16
+            # patch matmul, so HIGH's extra passes buy nothing here
+            prec = (
+                jax.lax.Precision.DEFAULT
+                if imgs.dtype == jnp.bfloat16
+                else None
+            )
             xcat = jnp.concatenate(
-                [resize_bilinear(imgs, sz), resize_bilinear(imgs, sz, flip_w=True)],
+                [
+                    resize_bilinear(imgs, sz, precision=prec),
+                    resize_bilinear(imgs, sz, flip_w=True, precision=prec),
+                ],
                 axis=0,
             )
         out = forward(xcat)

@@ -114,27 +114,31 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def _apply_separable(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
+def _apply_separable(
+    x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray, precision=None
+) -> jnp.ndarray:
     """Apply per-axis matrices along the H, W axes of an NHWC (or HWC/HW) array."""
+    prec = precision or _PRECISION
     hw_axis = x.ndim - 3  # H axis for NHWC / HWC; 0 for HW
     if x.ndim == 2:
-        return jnp.einsum("oh,hw,pw->op", mh, x, mw, precision=_PRECISION)
+        return jnp.einsum("oh,hw,pw->op", mh, x, mw, precision=prec)
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x if prec == jax.lax.Precision.DEFAULT else x.astype(jnp.float32)
     # contract H then W; keep channel axis last so both contractions are matmuls
     y = jnp.tensordot(
-        jnp.asarray(mh), xf, axes=[[1], [hw_axis]], precision=_PRECISION
+        jnp.asarray(mh, xf.dtype), xf, axes=[[1], [hw_axis]], precision=prec
     )  # (Ho, ..., W, C)
     y = jnp.moveaxis(y, 0, hw_axis)
     y = jnp.tensordot(
-        jnp.asarray(mw), y, axes=[[1], [hw_axis + 1]], precision=_PRECISION
+        jnp.asarray(mw, xf.dtype), y, axes=[[1], [hw_axis + 1]], precision=prec
     )  # (Wo, ..., Ho, C)
     y = jnp.moveaxis(y, 0, hw_axis + 1)
     return y.astype(dt) if jnp.issubdtype(dt, jnp.floating) else y
 
 
 def resize_bilinear(
-    x: jnp.ndarray, size: Tuple[int, int], flip_w: bool = False
+    x: jnp.ndarray, size: Tuple[int, int], flip_w: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """NHWC bilinear resize, exact torch ``align_corners=False`` parity.
 
@@ -143,12 +147,16 @@ def resize_bilinear(
     bit-exactly (the W interpolation matrix's rows are reversed, so the same
     products are accumulated — only written to mirrored columns). The TTA
     fuse uses this to kill the materialized `rev` passes on 448^2 tensors.
+
+    ``precision`` overrides the module default (HIGH): callers resizing
+    tensors that are ALREADY bf16-quantized and threshold-insensitive (the
+    teacher's input images) pass DEFAULT for single-pass bf16 matmuls.
     """
     h, w = x.shape[-3:-1] if x.ndim >= 3 else x.shape
     mw = _linear_matrix(w, size[1])
     if flip_w:
         mw = mw[::-1]
-    return _apply_separable(x, _linear_matrix(h, size[0]), mw)
+    return _apply_separable(x, _linear_matrix(h, size[0]), mw, precision)
 
 
 def resize_bilinear_ac(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
