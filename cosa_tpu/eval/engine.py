@@ -306,20 +306,65 @@ def evaluate(
     if host_crf:
         from cosa_tpu.eval.crf import crf_refine_host
 
-    for c0 in range(0, len(local), bsz):
-        chunk = local[c0 : c0 + bsz]
-        samples = [val_ds[i] for i in chunk]
-        nvalid = len(samples)
-        while len(samples) < bsz:  # pad the tail chunk (gt=255 nullifies it)
-            samples.append(samples[-1])
+    # batch assembly (PIL decode + canvas packing, ~10 ms/image on one
+    # core) runs in a prefetch thread so it overlaps device execution —
+    # the reference loads each image synchronously between forwards
+    # (evaluation_engine.py:75, DataLoader bs=1)
+    import queue as _queue
+    import threading as _threading
 
-        pad_i = pad
-        if any(max(s["image"].shape[:2]) > pad for s in samples):
-            # bucket oversized pads to the next multiple of 128 and cache the
-            # compiled program per bucket — otherwise a dataset with many
-            # heterogeneous large images recompiles every batch
-            biggest = max(max(s["image"].shape[:2]) for s in samples)
-            pad_i = -(-biggest // 128) * 128
+    prefetch: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _assemble():
+        try:
+            for c0 in range(0, len(local), bsz):
+                chunk = local[c0 : c0 + bsz]
+                samples = [val_ds[i] for i in chunk]
+                nvalid = len(samples)
+                while len(samples) < bsz:  # pad tail (gt=255 nullifies it)
+                    samples.append(samples[-1])
+
+                pad_i = pad
+                if any(max(s["image"].shape[:2]) > pad for s in samples):
+                    # bucket oversized pads to the next multiple of 128 (a
+                    # compiled program is cached per bucket — otherwise many
+                    # heterogeneous large images recompile every batch)
+                    biggest = max(max(s["image"].shape[:2]) for s in samples)
+                    pad_i = -(-biggest // 128) * 128
+
+                # only raw bytes cross the host->device link: u8 images,
+                # u8 GT and the true sizes; the per-image interpolation
+                # matrices are built on device (shipping them dominated
+                # eval wall-clock: 29 MB/batch)
+                img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
+                gt_pad = np.full((bsz, pad_i, pad_i), 255, np.uint8)
+                cls_labels = np.zeros((bsz, n - 1), np.float32)
+                hw = np.zeros((bsz, 2), np.int32)
+                for bi, smp in enumerate(samples):
+                    img, gt = smp["image"], smp["label"]
+                    h, w = img.shape[:2]
+                    img_pad[bi, :h, :w] = img
+                    if bi < nvalid:  # padded duplicates contribute nothing
+                        gt_pad[bi, :h, :w] = gt
+                    cls_labels[bi] = smp["cls_label"]
+                    hw[bi] = [h, w]
+                prefetch.put(
+                    (samples, nvalid, pad_i, img_pad, gt_pad, cls_labels, hw)
+                )
+        except BaseException as e:  # surface to the consumer
+            prefetch.put(e)
+            return
+        prefetch.put(None)
+
+    _threading.Thread(target=_assemble, daemon=True).start()
+
+    while True:
+        item = prefetch.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise RuntimeError("eval batch assembly failed") from item
+        samples, nvalid, pad_i, img_pad, gt_pad, cls_labels, hw = item
         if pad_i != pad:
             key = (pad_i, thresholds, want_maps, host_crf, crf_on_device)
             if key not in _step_cache:
@@ -330,22 +375,6 @@ def evaluate(
             eval_step_i = _step_cache[key]
         else:
             eval_step_i = eval_step
-
-        # only raw bytes cross the host->device link: u8 images, u8 GT and
-        # the true sizes; the per-image interpolation matrices are built on
-        # device (shipping them dominated eval wall-clock: 29 MB/batch)
-        img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
-        gt_pad = np.full((bsz, pad_i, pad_i), 255, np.uint8)
-        cls_labels = np.zeros((bsz, n - 1), np.float32)
-        hw = np.zeros((bsz, 2), np.int32)
-        for bi, smp in enumerate(samples):
-            img, gt = smp["image"], smp["label"]
-            h, w = img.shape[:2]
-            img_pad[bi, :h, :w] = img
-            if bi < nvalid:  # padded duplicates contribute nothing
-                gt_pad[bi, :h, :w] = gt
-            cls_labels[bi] = smp["cls_label"]
-            hw[bi] = [h, w]
 
         dev_in = [img_pad, gt_pad, cls_labels, hw]
         if in_shard is not None:
