@@ -314,10 +314,22 @@ def evaluate(
     import threading as _threading
 
     prefetch: _queue.Queue = _queue.Queue(maxsize=2)
+    cancel = _threading.Event()  # consumer died: unblock + stop the producer
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                prefetch.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _assemble():
         try:
             for c0 in range(0, len(local), bsz):
+                if cancel.is_set():
+                    return
                 chunk = local[c0 : c0 + bsz]
                 samples = [val_ds[i] for i in chunk]
                 nvalid = len(samples)
@@ -348,17 +360,19 @@ def evaluate(
                         gt_pad[bi, :h, :w] = gt
                     cls_labels[bi] = smp["cls_label"]
                     hw[bi] = [h, w]
-                prefetch.put(
+                if not _put(
                     (samples, nvalid, pad_i, img_pad, gt_pad, cls_labels, hw)
-                )
+                ):
+                    return
         except BaseException as e:  # surface to the consumer
-            prefetch.put(e)
+            _put(e)
             return
-        prefetch.put(None)
+        _put(None)
 
     _threading.Thread(target=_assemble, daemon=True).start()
 
-    while True:
+    try:
+      while True:
         item = prefetch.get()
         if item is None:
             break
@@ -442,6 +456,11 @@ def evaluate(
             from cosa_tpu.eval.metrics import fast_hist
 
             crf_hist += fast_hist(gt_m.flatten(), pred_crf.flatten(), n)
+
+    finally:
+        # unblock the producer if we exit abnormally (it checks `cancel`
+        # between bounded puts); on normal exit it has already finished
+        cancel.set()
 
     # cross-process reduction of the tiny hists
     if pcnt > 1:

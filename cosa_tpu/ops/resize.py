@@ -123,7 +123,13 @@ def _apply_separable(
     if x.ndim == 2:
         return jnp.einsum("oh,hw,pw->op", mh, x, mw, precision=prec)
     dt = x.dtype
-    xf = x if prec == jax.lax.Precision.DEFAULT else x.astype(jnp.float32)
+    # only float inputs may skip the f32 upcast under DEFAULT (an integer
+    # input would truncate the fractional interpolation weights to 0/1)
+    skip_upcast = (
+        prec == jax.lax.Precision.DEFAULT
+        and jnp.issubdtype(dt, jnp.floating)
+    )
+    xf = x if skip_upcast else x.astype(jnp.float32)
     # contract H then W; keep channel axis last so both contractions are matmuls
     y = jnp.tensordot(
         jnp.asarray(mh, xf.dtype), xf, axes=[[1], [hw_axis]], precision=prec

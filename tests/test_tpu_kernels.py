@@ -1,10 +1,14 @@
 """TPU-only numeric parity checks for the custom Pallas kernels.
 
-The CI suite runs on CPU (conftest forces JAX_PLATFORMS=cpu) where the
-kernels are not dispatched; these tests run the real Mosaic lowerings and
-are skipped off-TPU. Run manually with:
+The CI suite runs on CPU (conftest forces the platform from
+COSA_TEST_PLATFORM, default "cpu") where the kernels are not dispatched;
+these tests run the real Mosaic lowerings and are skipped off-TPU. Run
+manually with the TPU platform name, e.g.:
 
-    JAX_PLATFORMS='' python -m pytest tests/test_tpu_kernels.py -q
+    COSA_TEST_PLATFORM=axon python -m pytest tests/test_tpu_kernels.py -q
+    # (bare-metal TPU hosts: COSA_TEST_PLATFORM=tpu)
+
+(Plain JAX_PLATFORMS='' does NOT work: conftest.py overwrites it.)
 """
 
 import numpy as np
