@@ -55,7 +55,16 @@ def load_name_list(dataset: str, split: str, split_dir: str = "") -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
-def class_list(dataset: str) -> List[str]:
+def class_list(dataset: str, split_dir: str = "") -> List[str]:
+    """Class names for tables/visualization. A custom split_dir may carry a
+    ``class_names.txt`` override (one name per line) — used by the ShapesWSSS
+    synthetic data, which rides the VOC pipeline with its own classes."""
+    if split_dir:
+        sub = "coco" if dataset == "COCO" else "voc"
+        path = os.path.join(split_dir, sub, "class_names.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return [ln.strip() for ln in f if ln.strip()]
     return COCO_CLASSES if dataset == "COCO" else VOC_CLASSES
 
 

@@ -436,7 +436,7 @@ def evaluate(
             dump_eval_visuals(
                 save_dir, samples[0]["name"], samples[0]["image"],
                 seg_map_full, cam_map, samples[0]["label"],
-                samples[0]["cls_label"], class_list(cfg.dataset),
+                samples[0]["cls_label"], class_list(cfg.dataset, cfg.split_dir),
                 cfg.num_classes,
             )
         # padded duplicate rows are nullified in every hist via gt=255

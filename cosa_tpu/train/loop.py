@@ -240,7 +240,7 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
 
 def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
                     best_seg, best_cam, mesh=None):
-    cats = class_list(cfg.dataset)[: cfg.num_classes]
+    cats = class_list(cfg.dataset, cfg.split_dir)[: cfg.num_classes]
     fast_n = cfg.fasteval_n if cfg.fasteval else None
 
     res_s = evaluate(cfg, model, state.student, val_ds,
@@ -348,7 +348,7 @@ def finaleval(cfg: Config) -> Dict:
 
         params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
     res = evaluate(cfg, model, params, test_ds, getcrf=True, mesh=mesh)
-    cats = class_list(cfg.dataset)[: cfg.num_classes]
+    cats = class_list(cfg.dataset, cfg.split_dir)[: cfg.num_classes]
     names = [k for k in res if k != "cls_aps"]
     writer.print("Final Model Result:\n" + format_iou_table(
         [res[k] for k in names], names, cats))

@@ -1,0 +1,108 @@
+"""ShapesWSSS generator tests: determinism, label/mask consistency,
+solvability signals, and end-to-end compatibility with the VOC pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cosa_tpu.data import synthwsss as sw
+
+
+def test_deterministic_and_valid():
+    a, ma, oa = sw.render_sample(7, 42)
+    b, mb, ob = sw.render_sample(7, 42)
+    assert (a == b).all() and (ma == mb).all() and (oa == ob).all()
+    assert a.dtype == np.uint8 and ma.dtype == np.uint8
+    assert a.shape[:2] == ma.shape
+    assert ma.max() <= sw.N_FG
+    # onehot reflects exactly the visible classes
+    present = np.unique(ma)
+    present = present[present > 0]
+    assert set(np.nonzero(oa)[0] + 1) == set(present.tolist())
+
+
+def test_class_coverage_and_balance():
+    """All 20 classes appear across a modest sample of images."""
+    seen = np.zeros(sw.N_FG)
+    for i in range(120):
+        _, _, oh = sw.render_sample(0, i)
+        seen += oh
+    assert (seen > 0).all(), f"classes never sampled: {np.where(seen == 0)[0] + 1}"
+
+
+def test_solvability_signal():
+    """Foreground must be chromatically separable from background+distractors
+    (that is the designed weak-supervision signal): mean fg saturation far
+    above mean bg saturation."""
+    fg_sat, bg_sat = [], []
+    for i in range(20):
+        img, mask, _ = sw.render_sample(3, i)
+        rgb = img.astype(np.float32) / 255.0
+        mx, mn = rgb.max(-1), rgb.min(-1)
+        sat = np.where(mx > 0, (mx - mn) / np.maximum(mx, 1e-6), 0)
+        if (mask > 0).any():
+            fg_sat.append(sat[mask > 0].mean())
+        bg_sat.append(sat[mask == 0].mean())
+    assert np.mean(fg_sat) > 0.45
+    assert np.mean(bg_sat) < 0.25
+    assert np.mean(fg_sat) - np.mean(bg_sat) > 0.3
+
+
+def test_boundary_ignore_ring():
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:20, 8:20] = 5
+    out = sw.boundary_ignore(mask, width=2)
+    assert (out[10:18, 10:18] == 5).all()  # interior intact
+    assert (out == 255).sum() > 0
+    # the ring hugs the boundary on both sides
+    assert out[8, 8] == 255 and out[7, 8] == 255
+
+
+def test_make_dataset_voc_layout(tmp_path):
+    root = str(tmp_path / "synth")
+    meta = sw.make_dataset(root, n_train=4, n_val=3, seed=1)
+    assert meta["n_train"] == 4
+    # VOC layout
+    imgs = os.listdir(os.path.join(root, "JPEGImages"))
+    assert len(imgs) == 7
+    # masks only for val (weak supervision: train GT withheld)
+    segs = os.listdir(os.path.join(root, "SegmentationClassAug"))
+    assert len(segs) == 3
+    labels = np.load(
+        os.path.join(root, "splits", "voc", "cls_labels_onehot.npy"),
+        allow_pickle=True,
+    ).item()
+    assert len(labels) == 7
+    for v in labels.values():
+        assert v.shape == (sw.N_FG,)
+
+    # the unmodified VOC12 dataset classes load it
+    from cosa_tpu.config import voc_config
+    from cosa_tpu.data.loader import build_train_dataset, build_val_dataset
+
+    cfg = voc_config(
+        data_root=root, split_dir=os.path.join(root, "splits"),
+        crop_size=64, num_classes=sw.N_FG + 1,
+    )
+    tr = build_train_dataset(cfg)
+    s = tr[(0, 1)]
+    assert s["wimg"].shape == (64, 64, 3)
+    assert s["cls_label"].shape == (sw.N_FG,)
+    va = build_val_dataset(cfg)
+    v = va[0]
+    assert v["image"].ndim == 3 and v["label"].shape == v["image"].shape[:2]
+    assert (np.unique(v["label"]) <= sw.N_FG).sum() + (
+        255 in np.unique(v["label"])
+    ) > 0
+
+
+def test_class_names_override(tmp_path):
+    from cosa_tpu.data.datasets import class_list
+
+    d = tmp_path / "splits" / "voc"
+    d.mkdir(parents=True)
+    (d / "class_names.txt").write_text("\n".join(sw.CLASS_NAMES) + "\n")
+    names = class_list("VOC12", str(tmp_path / "splits"))
+    assert names == sw.CLASS_NAMES
+    assert class_list("VOC12")[0] == "_background_"
