@@ -105,9 +105,17 @@ def _crf_core(
     log_p = jnp.log(jnp.clip(probs_pad, 1e-8, 1.0))
 
     rp = p // reduce
-    img_r = (
-        img_pad if reduce == 1 else resize_bilinear(img_pad[None], (rp, rp))[0]
-    )
+    if reduce == 1:
+        img_r = img_pad
+    else:
+        # masked downsample: img_pad is zero outside the true image, so a
+        # plain bilinear reduce would blend black pad pixels into boundary
+        # RGB features (wrong bilateral affinities at the image edge).
+        # Renormalizing by the downsampled valid mask keeps boundary features
+        # equal to the average of VALID contributing pixels only.
+        img_v = resize_bilinear((img_pad * valid[..., None])[None], (rp, rp))[0]
+        w_v = resize_bilinear(valid[..., None][None], (rp, rp))[0]
+        img_r = img_v / jnp.maximum(w_v, 1e-6)
     ys = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 0) * reduce
     xs = jax.lax.broadcasted_iota(jnp.float32, (rp, rp), 1) * reduce
     feats = jnp.stack([xs / bi_xy, ys / bi_xy], axis=-1)

@@ -100,6 +100,13 @@ def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
         (B, P, P) u8 (255 outside + on pad rows); hw: (B, 2) i32 true sizes.
         The per-image image->crop / logits->GT interpolation matrices and
         the inside-image boxes are all derived from ``hw`` on device."""
+        # the packed result ships device->host as ONE f32 vector; a
+        # confusion-matrix cell is exact in f32 only below 2^24, so guard
+        # the worst case (all B*P*P pixels in one cell) at trace time
+        assert img_pad.shape[0] * pad * pad < 2 ** 24, (
+            f"eval_batch {img_pad.shape[0]} x pad {pad}^2 overflows exact "
+            "f32 hist transfer; lower cfg.eval_batch"
+        )
         m_in_h = _dev_interp_in(hw[:, 0], s, pad)
         m_in_w = _dev_interp_in(hw[:, 1], s, pad)
         m_out_h = _dev_interp_out(hw[:, 0], s, pad)

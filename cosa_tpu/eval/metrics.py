@@ -47,6 +47,11 @@ def jax_hist(gt: jnp.ndarray, pred: jnp.ndarray, n: int) -> jnp.ndarray:
     else:
         gt = gt.reshape(1, -1)
     pred = pred.reshape(gt.shape)
+    # clip pred like fast_hist's bincount clamp: out-of-range predictions
+    # (e.g. an ignore_index leaking through a caller) count toward class
+    # n-1 instead of silently vanishing, so row sums always equal the
+    # valid-pixel count
+    pred = jnp.clip(pred, 0, n - 1)
     valid = (gt >= 0) & (gt < n)
     cls = jnp.arange(n, dtype=jnp.int32)
     a = ((gt[..., None] == cls) & valid[..., None]).astype(jnp.float32)

@@ -118,7 +118,9 @@ def _apply_separable(
     x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray, precision=None
 ) -> jnp.ndarray:
     """Apply per-axis matrices along the H, W axes of an NHWC (or HWC/HW) array."""
-    prec = precision or _PRECISION
+    # explicit None test: `precision or` would silently drop an explicit
+    # Precision.DEFAULT request if jax ever made Precision falsy-valued
+    prec = _PRECISION if precision is None else precision
     hw_axis = x.ndim - 3  # H axis for NHWC / HWC; 0 for HW
     if x.ndim == 2:
         return jnp.einsum("oh,hw,pw->op", mh, x, mw, precision=prec)

@@ -347,6 +347,12 @@ def finaleval(cfg: Config) -> Dict:
         from jax.sharding import NamedSharding, PartitionSpec
 
         params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+    if cfg.crf_backend == "device" and cfg.crf_reduce > 1:
+        writer.print(
+            f"note: Seg_crf uses the on-device mean-field at 1/{cfg.crf_reduce} "
+            "resolution (exact Gaussian transform); for reference-parity "
+            "comparisons use --crf_backend native (full-res host lattice)"
+        )
     res = evaluate(cfg, model, params, test_ds, getcrf=True, mesh=mesh)
     cats = class_list(cfg.dataset, cfg.split_dir)[: cfg.num_classes]
     names = [k for k in res if k != "cls_aps"]
