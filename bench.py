@@ -2,15 +2,16 @@
 
 Measures the FULL compiled CoSA training iteration — teacher 3-scale+flip
 TTA, student forward/backward, CAM->mask pseudo-labeling, dense-energy
-regularizer, PolyWarmupAdamW update, EMA teacher — at the reference's VOC
-training configuration (ViT-B/16, 448^2 crop, global batch 4).
+regularizer, PolyWarmupAdamW update, EMA teacher — at the reference's
+training configurations:
+  * COCO: ViT-B/16, 448^2 crop, 81 classes, global batch 8
+    (baseline 2.54 s/iter on 2x RTX 3090 => 3.14 img/s,
+    assets/logs/coco_log.txt:85)
+  * VOC:  ViT-B/16, 448^2 crop, 21 classes, global batch 4
+    (baseline 0.92 s/iter on 2x RTX 3090 => 4.35 img/s,
+    assets/logs/voc_log.txt:88; BASELINE.md / SURVEY.md §6)
 
-Baseline: the reference trains VOC at 0.92 s/iter with global batch 4 on
-2x RTX 3090 => 4.35 img/s for the whole rig (BASELINE.md / SURVEY.md §6,
-assets/logs/voc_log.txt:88). vs_baseline compares one TPU chip against the
-full 2-GPU reference rig.
-
-Prints exactly one JSON line:
+Prints one JSON line per config; the VOC headline metric is printed LAST:
   {"metric": "voc_train_imgs_per_sec", "value": N, "unit": "img/s",
    "vs_baseline": N/4.35, ...}
 """
@@ -22,13 +23,13 @@ import time
 
 import numpy as np
 
-BASELINE_IMGS_PER_SEC = 4.35  # 2x3090, batch 4, 0.92 s/iter
+VOC_BASELINE_IMGS_PER_SEC = 4.35  # 2x3090, global batch 4, 0.92 s/iter
+COCO_BASELINE_IMGS_PER_SEC = 3.14  # 2x3090, global batch 8, 2.54 s/iter
 
 
-def main() -> None:
+def _bench_config(cfg, global_batch: int):
     import jax
 
-    from cosa_tpu.config import voc_config
     from cosa_tpu.models import build_model
     from cosa_tpu.parallel import batch_sharding, make_mesh, state_sharding
     from cosa_tpu.train import (
@@ -38,10 +39,6 @@ def main() -> None:
     )
 
     n_dev = jax.device_count()
-    cfg = voc_config(batch_size=4 // max(n_dev, 1) or 1)  # global batch 4
-    global_batch = max(cfg.batch_size * n_dev, 4)
-    cfg = cfg.replace(batch_size=global_batch // n_dev)
-
     mesh = make_mesh(dp=n_dev, tp=1)
     model = build_model(cfg)
     state = create_train_state(cfg, model, global_batch)
@@ -76,22 +73,45 @@ def main() -> None:
     loss = float(metrics["overall_loss"])
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(loss)
+    return dt
 
-    imgs_per_sec = global_batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "voc_train_imgs_per_sec",
-                "value": round(imgs_per_sec, 3),
-                "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-                "sec_per_iter": round(dt, 4),
-                "global_batch": global_batch,
-                "n_devices": n_dev,
-                "backend": jax.default_backend(),
-            }
+
+def main() -> None:
+    import jax
+
+    from cosa_tpu.config import coco_config, voc_config
+
+    n_dev = jax.device_count()
+
+    # COCO first; the headline VOC line stays last (the driver parses the
+    # final JSON line).
+    for name, make_cfg, global_batch, baseline in (
+        ("coco", coco_config, 8, COCO_BASELINE_IMGS_PER_SEC),
+        ("voc", voc_config, 4, VOC_BASELINE_IMGS_PER_SEC),
+    ):
+        per_dev = max(global_batch // n_dev, 1)
+        gb = per_dev * n_dev
+        cfg = make_cfg(
+            batch_size=per_dev,
+            energy_convention=1.0,  # perf bench; regularizer scale irrelevant
         )
-    )
+        dt = _bench_config(cfg, gb)
+        imgs_per_sec = gb / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_train_imgs_per_sec",
+                    "value": round(imgs_per_sec, 3),
+                    "unit": "img/s",
+                    "vs_baseline": round(imgs_per_sec / baseline, 3),
+                    "sec_per_iter": round(dt, 4),
+                    "global_batch": gb,
+                    "n_devices": n_dev,
+                    "backend": jax.default_backend(),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -41,6 +41,9 @@ class Config:
     fasteval_n: int = 200  # seeded-random subset size when fasteval is on
     valfull: bool = False
     eval_threshold_filters: Optional[Tuple[float, ...]] = None
+    # dump raw fused CAMs (npy per image) during validations + finaleval
+    # (reference turnon_rawcam, main.py:338,422 -> save_cam_npv2)
+    turnon_rawcam: bool = False
     eval_batch: int = 8  # val images per compiled eval call (reference: 1)
     # final-eval split: "val" scores like reference finaleval (main.py:414);
     # "test" runs the GT-less VOC test split and dumps eval-server PNGs
@@ -87,6 +90,11 @@ class Config:
     low_thre: float = 0.25
     low_thre_aux: float = 0.25
     usegmm: bool = False
+    # separate GMM gate for the aux head (reference args.py:60 declares
+    # usegmmaux but never consumes it — main.py:174 reuses usegmm for both
+    # heads; here the flag is real). None = follow usegmm (reference-parity
+    # behavior); True/False = gate the aux head's thresholds independently.
+    usegmmaux: Optional[bool] = None
     gmmscale: int = 16
     gmmfilter_thre: float = 0.05
     gmmemadecay: float = 0.99
@@ -117,6 +125,11 @@ class Config:
     energy_scale: float = 0.5
     energy_filter: str = "rff"  # rff | exact (test-only)
     energy_rff_features: int = 1024
+    # rff->lattice energy rescale. 0.0 = auto-calibrate at train start on the
+    # first real batch at the actual energy resolution (the ratio is
+    # shape-dependent, objectives/energy.py::resolve_energy_convention);
+    # a positive value is used as-is (reproducing a previous run's log).
+    energy_convention: float = 0.0
 
     # ---- eval-time CRF ---------------------------------------------------
     # reference: utils/seg_helper.py:989-996
@@ -230,7 +243,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
 
     for f in dataclasses.fields(Config):
         name = "--" + f.name
-        if f.type in ("bool", bool):
+        if f.type in ("bool", bool) or "Optional[bool]" in str(f.type):
             parser.add_argument(name, type=str2bool, default=None)
         elif f.type in ("int", int):
             parser.add_argument(name, type=int, default=None)

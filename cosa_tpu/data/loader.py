@@ -14,6 +14,7 @@ jax.process_index() replaces DistributedSampler.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -27,6 +28,25 @@ from cosa_tpu.data.datasets import (
     SegValDataset,
     build_base,
 )
+
+# ---------------------------------------------------------------------------
+# process-pool decode workers (num_workers < 0): insurance against GIL
+# contention on many-core hosts. PIL releases the GIL for decode/resize/
+# filter, so threads scale on typical hosts (~6 img/s/core measured), but a
+# Python-heavy augmentation mix can still serialize; -N forks N worker
+# processes instead. The dataset is shipped ONCE per worker (pool
+# initializer), only (epoch, idx) keys and sample dicts cross the pipe.
+# ---------------------------------------------------------------------------
+_WORKER_DS = None
+
+
+def _pool_init(ds) -> None:
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _pool_get(key):
+    return _WORKER_DS[key]
 
 
 def _train_split(cfg) -> str:
@@ -88,7 +108,15 @@ class TrainLoader:
         self.skip_batches = skip_batches
         self.pidx = jax.process_index() if process_index is None else process_index
         self.pcnt = jax.process_count() if process_count is None else process_count
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self._procs = None
+        if num_workers < 0:  # process-pool decode (see _pool_init above)
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+            self._procs = ctx.Pool(
+                -num_workers, initializer=_pool_init, initargs=(dataset,)
+            )
+        self.pool = ThreadPoolExecutor(max_workers=max(1, abs(num_workers)))
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._feeder, daemon=True)
@@ -117,8 +145,14 @@ class TrainLoader:
             for epoch, idxs in stream:
                 if self._stop.is_set():
                     return
-                futures = [self.pool.submit(self.ds.__getitem__, (epoch, int(i))) for i in idxs]
-                samples = [f.result() for f in futures]
+                keys = [(epoch, int(i)) for i in idxs]
+                if self._procs is not None:
+                    samples = self._procs.map(_pool_get, keys)
+                else:
+                    futures = [
+                        self.pool.submit(self.ds.__getitem__, k) for k in keys
+                    ]
+                    samples = [f.result() for f in futures]
                 batch = dict(
                     wimg=np.stack([s["wimg"] for s in samples]),
                     simg=np.stack([s["simg"] for s in samples]),
@@ -157,6 +191,8 @@ class TrainLoader:
         except queue.Empty:
             pass
         self.pool.shutdown(wait=False)
+        if self._procs is not None:
+            self._procs.terminate()
 
 
 def pack_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -89,11 +89,19 @@ def _dev_interp_out(sizes: jnp.ndarray, in_size: int, pad: int) -> jnp.ndarray:
 
 def _build_eval_step(cfg, model, pad: int, thresholds: Tuple[float, ...],
                      return_maps: bool = False, return_probs: bool = False,
-                     getcrf: bool = False):
+                     getcrf: bool = False, out_sharding=None):
+    """``out_sharding``: replicate outputs across a mesh — required by the
+    multi-process SPMD path, where inferred shardings would leave outputs
+    non-addressable on some hosts."""
     n = cfg.num_classes
     s = cfg.crop_size
 
-    @jax.jit
+    def _jit(f):
+        if out_sharding is not None:
+            return jax.jit(f, out_shardings=out_sharding)
+        return jax.jit(f)
+
+    @_jit
     def eval_step(params, img_pad, gt_pad, cls_label, hw):
         """Batched over B val images (the reference is locked to batch 1 per
         rank, evaluation_engine.py:75). img_pad: (B, P, P, 3) u8; gt_pad:
@@ -274,33 +282,46 @@ def evaluate(
     # full-resolution-lattice parity runs and fetch the prob maps instead
     crf_on_device = getcrf and getattr(cfg, "crf_backend", "device") == "device"
     host_crf = getcrf and not crf_on_device
-    # per-image artifacts / host-CRF prob maps are large: batch only the
-    # device-resident paths
-    bsz = 1 if (want_maps or host_crf) else int(getattr(cfg, "eval_batch", 8))
+    # host-CRF prob maps are large per-image artifacts: keep that path at
+    # batch 1; the map-dump path (save_dir/rawcam) is batched like scoring
+    bsz = 1 if host_crf else int(getattr(cfg, "eval_batch", 8))
 
-    # shard the image batch over the local mesh's data axis: a plain jit
-    # would pin eval to ONE device of a multi-chip host (the train step is
-    # SPMD but the reference-style eval loop is not automatically so).
-    # Multi-PROCESS runs already shard by image (idxs[pidx::pcnt]) — there
-    # the global mesh does not describe this process's private batch, so
-    # mesh sharding applies to single-process (multi-device) runs only.
+    # shard the image batch over the mesh's data axis: a plain jit would pin
+    # eval to ONE device of a multi-chip host (the train step is SPMD but
+    # the reference-style eval loop is not automatically so).
+    #   * single process: device_put each batch with a data-axis sharding;
+    #   * multi-process: one GLOBAL SPMD batch per step — every process
+    #     contributes its local rows via make_array_from_process_local_data
+    #     and every chip of every host computes (the reference leaves eval
+    #     at bs=1/rank, evaluation_engine.py:75; round 2 of this port left
+    #     each process's eval on a single local chip).
     in_shard = None
-    if (
-        mesh is not None
-        and jax.process_count() == 1
-        and not (want_maps or host_crf)
-    ):
+    mh_spmd = False
+    out_sharding = None
+    bsz_local = bsz
+    if mesh is not None and not host_crf and not want_maps:
+        from jax.sharding import NamedSharding, PartitionSpec
+
         ndata = int(mesh.shape.get("data", 1))
-        if ndata > 1:
+        if pcnt == 1 and ndata > 1:
             bsz = max(bsz, ndata)
             bsz = -(-bsz // ndata) * ndata
-            from jax.sharding import NamedSharding, PartitionSpec
-
+            bsz_local = bsz
             in_shard = lambda nd: NamedSharding(
                 mesh, PartitionSpec(*(["data"] + [None] * (nd - 1)))
             )
+        elif pcnt > 1 and ndata > 1:
+            mh_spmd = True
+            rows_per_proc = max(ndata // pcnt, 1)
+            bsz_local = -(-max(bsz // pcnt, 1) // rows_per_proc) * rows_per_proc
+            bsz = bsz_local * pcnt  # global SPMD batch
+            in_shard = lambda nd: NamedSharding(
+                mesh, PartitionSpec(*(["data"] + [None] * (nd - 1)))
+            )
+            out_sharding = NamedSharding(mesh, PartitionSpec())
     eval_step = _build_eval_step(
-        cfg, model, pad, thresholds, want_maps, host_crf, crf_on_device
+        cfg, model, pad, thresholds, want_maps, host_crf, crf_on_device,
+        out_sharding=out_sharding,
     )
     _step_cache: Dict = {}  # compiled programs for oversized pad buckets
 
@@ -332,19 +353,39 @@ def evaluate(
                 continue
         return False
 
+    # every process must run the SAME number of steps in mh_spmd mode (the
+    # per-step computation is a collective): derive it from the GLOBAL image
+    # count, padding short processes with repeats (gt=255 nullifies them)
+    if mh_spmd:
+        nlocal_max = -(-len(idxs) // pcnt)
+        n_steps = -(-nlocal_max // bsz_local)
+    else:
+        n_steps = -(-len(local) // bsz_local) if local else 0
+
     def _assemble():
         try:
-            for c0 in range(0, len(local), bsz):
+            for step_i in range(n_steps):
                 if cancel.is_set():
                     return
-                chunk = local[c0 : c0 + bsz]
+                c0 = step_i * bsz_local
+                chunk = local[c0 : c0 + bsz_local]
+                nvalid = len(chunk)
+                if not chunk:  # short process in mh_spmd: all-padding step
+                    chunk = [local[-1] if local else idxs[0]]
                 samples = [val_ds[i] for i in chunk]
-                nvalid = len(samples)
-                while len(samples) < bsz:  # pad tail (gt=255 nullifies it)
+                while len(samples) < bsz_local:  # pad tail
                     samples.append(samples[-1])
 
                 pad_i = pad
                 if any(max(s["image"].shape[:2]) > pad for s in samples):
+                    if mh_spmd:
+                        # bucket choice must agree across processes; the
+                        # standard splits never exceed the fixed pad
+                        raise ValueError(
+                            "multi-process SPMD eval requires images <= "
+                            f"{pad}px; got "
+                            f"{max(max(s['image'].shape[:2]) for s in samples)}"
+                        )
                     # bucket oversized pads to the next multiple of 128 (a
                     # compiled program is cached per bucket — otherwise many
                     # heterogeneous large images recompile every batch)
@@ -355,10 +396,10 @@ def evaluate(
                 # u8 GT and the true sizes; the per-image interpolation
                 # matrices are built on device (shipping them dominated
                 # eval wall-clock: 29 MB/batch)
-                img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
-                gt_pad = np.full((bsz, pad_i, pad_i), 255, np.uint8)
-                cls_labels = np.zeros((bsz, n - 1), np.float32)
-                hw = np.zeros((bsz, 2), np.int32)
+                img_pad = np.zeros((bsz_local, pad_i, pad_i, 3), np.uint8)
+                gt_pad = np.full((bsz_local, pad_i, pad_i), 255, np.uint8)
+                cls_labels = np.zeros((bsz_local, n - 1), np.float32)
+                hw = np.zeros((bsz_local, 2), np.int32)
                 for bi, smp in enumerate(samples):
                     img, gt = smp["image"], smp["label"]
                     h, w = img.shape[:2]
@@ -398,7 +439,13 @@ def evaluate(
             eval_step_i = eval_step
 
         dev_in = [img_pad, gt_pad, cls_labels, hw]
-        if in_shard is not None:
+        if mh_spmd:
+            # local rows -> one global SPMD batch (shape (bsz, ...) global)
+            dev_in = [
+                jax.make_array_from_process_local_data(in_shard(a.ndim), a)
+                for a in dev_in
+            ]
+        elif in_shard is not None:
             dev_in = [
                 jax.device_put(a, in_shard(a.ndim)) for a in dev_in
             ]
@@ -416,45 +463,57 @@ def evaluate(
             vd_probs = np.asarray(outs[extra_i])
             extra_i += 1
         if want_maps:
-            sample0 = samples[0]
-            h, w = sample0["image"].shape[:2]
-            seg_map_full = np.asarray(outs[extra_i])[0, :h, :w]
-            cam_map = np.asarray(outs[extra_i + 1])[0, :h, :w]
-        if save_rawcam_dir:
-            # reference save_cam_npv2 (evaluation_engine.py:299-309): per
-            # image, a dict {class_idx: cam_map} over present classes
-            import os as _os
+            # maps come back for the WHOLE batch (round 2 forced bsz=1 here;
+            # batching them keeps artifact dumps on the fast path)
+            seg_maps = np.asarray(outs[extra_i])
+            cam_maps = np.asarray(outs[extra_i + 1])
+            for bi in range(nvalid):
+                smp = samples[bi]
+                h, w = smp["image"].shape[:2]
+                seg_map_full = seg_maps[bi, :h, :w]
+                cam_map = cam_maps[bi, :h, :w]
+                if save_rawcam_dir:
+                    # reference save_cam_npv2 (evaluation_engine.py:299-309):
+                    # per image, a dict {class_idx: cam_map} over present
+                    # classes
+                    import os as _os
 
-            _os.makedirs(save_rawcam_dir, exist_ok=True)
-            cam_dict = {
-                int(c): cam_map[..., c]
-                for c in range(cfg.num_classes - 1)
-                if samples[0]["cls_label"][c] > 0
-            }
-            if cam_dict:
-                np.save(
-                    _os.path.join(save_rawcam_dir, samples[0]["name"] + ".npy"),
-                    cam_dict,  # type: ignore[arg-type]
-                )
-        if save_dir:
-            from cosa_tpu.data.datasets import class_list
-            from cosa_tpu.utils.visualize import dump_eval_visuals
+                    _os.makedirs(save_rawcam_dir, exist_ok=True)
+                    cam_dict = {
+                        int(c): cam_map[..., c]
+                        for c in range(cfg.num_classes - 1)
+                        if smp["cls_label"][c] > 0
+                    }
+                    if cam_dict:
+                        np.save(
+                            _os.path.join(save_rawcam_dir, smp["name"] + ".npy"),
+                            cam_dict,  # type: ignore[arg-type]
+                        )
+                if save_dir:
+                    from cosa_tpu.data.datasets import class_list
+                    from cosa_tpu.utils.visualize import dump_eval_visuals
 
-            dump_eval_visuals(
-                save_dir, samples[0]["name"], samples[0]["image"],
-                seg_map_full, cam_map, samples[0]["label"],
-                samples[0]["cls_label"], class_list(cfg.dataset, cfg.split_dir),
-                cfg.num_classes,
-            )
+                    dump_eval_visuals(
+                        save_dir, smp["name"], smp["image"],
+                        seg_map_full, cam_map, smp["label"],
+                        smp["cls_label"],
+                        class_list(cfg.dataset, cfg.split_dir),
+                        cfg.num_classes,
+                    )
         # padded duplicate rows are nullified in every hist via gt=255
         hist_sum += hists
         if thresholds:
             thr_sum += thr
+        row0 = pidx * bsz_local if mh_spmd else 0  # this process's rows in
+        # the (replicated) global-batch probs; data-axis rows follow device
+        # order, which is process-major for a jax.devices() mesh
         for bi in range(nvalid):
             cl = samples[bi]["cls_label"]
             if cl.sum() > 0:
-                aps += compute_mAP(cl[None], probs[bi : bi + 1])
-                aps_aux += compute_mAP(cl[None], probs_aux[bi : bi + 1])
+                aps += compute_mAP(cl[None], probs[row0 + bi : row0 + bi + 1])
+                aps_aux += compute_mAP(
+                    cl[None], probs_aux[row0 + bi : row0 + bi + 1]
+                )
         if host_crf:
             img, gt = samples[0]["image"], samples[0]["label"]
             h, w = img.shape[:2]
@@ -469,8 +528,9 @@ def evaluate(
         # between bounded puts); on normal exit it has already finished
         cancel.set()
 
-    # cross-process reduction of the tiny hists
-    if pcnt > 1:
+    # cross-process reduction of the tiny hists (the SPMD path's hists are
+    # computed over the GLOBAL batch inside the step — already reduced)
+    if pcnt > 1 and not mh_spmd:
         from jax.experimental import multihost_utils
 
         hist_sum = np.asarray(

@@ -50,8 +50,6 @@ def dump_submission(
     os.makedirs(dst, exist_ok=True)
 
     pad = 500 if cfg.dataset == "VOC12" else 640
-    # maps (and CRF probs) are per-image artifacts: batch 1, like the val
-    # engine's artifact path
     step_cache = {}
 
     # CRF backend mirrors the val engine: on-device (batched-capable, probs
@@ -62,38 +60,78 @@ def dump_submission(
         from cosa_tpu.eval.crf import crf_refine_host
 
     n_total = len(test_ds) if max_images is None else min(max_images, len(test_ds))
+    # the host-CRF path fetches full prob maps (large): batch 1 there; the
+    # device paths batch eval_batch images per compiled call (round 2 ran
+    # every submission image alone)
+    bsz = 1 if host_crf else max(1, int(getattr(cfg, "eval_batch", 8)))
+
+    def _image_size(i):
+        # header-only size read (PIL lazy open) — decoding every image just
+        # to plan the buckets would double the pipeline's IO
+        base = getattr(test_ds, "base", None)
+        if base is not None and hasattr(base, "_paths"):
+            try:
+                from PIL import Image as _Image
+
+                with _Image.open(base._paths(base.names[i])[0]) as im:
+                    return im.size[1], im.size[0]
+            except Exception:
+                pass
+        return test_ds[i]["image"].shape[:2]
+
+    # group images into same-pad-bucket batches so one compiled program
+    # serves each bucket
+    buckets = {}
     for i in range(n_total):
-        smp = test_ds[i]
-        img = smp["image"]
-        h, w = img.shape[:2]
-        pad_i = pad if max(h, w) <= pad else -(-max(h, w) // 128) * 128
+        m = max(_image_size(i))
+        pad_i = pad if m <= pad else -(-m // 128) * 128
+        buckets.setdefault(pad_i, []).append(i)
+
+    for pad_i, members in sorted(buckets.items()):
         if pad_i not in step_cache:
             step_cache[pad_i] = _build_eval_step(
                 cfg, model, pad_i, (), return_maps=True,
                 return_probs=host_crf, getcrf=crf_on_device,
             )
         step = step_cache[pad_i]
+        for c0 in range(0, len(members), bsz):
+            chunk = members[c0 : c0 + bsz]
+            samples = [test_ds[i] for i in chunk]
+            nvalid = len(samples)
+            while len(samples) < bsz:  # pad tail; outputs discarded
+                samples.append(samples[-1])
+            img_pad = np.zeros((bsz, pad_i, pad_i, 3), np.uint8)
+            gt_pad = np.full((bsz, pad_i, pad_i), 255, np.uint8)
+            cls_labels = np.zeros((bsz, cfg.num_classes - 1), np.float32)
+            hw = np.zeros((bsz, 2), np.int32)
+            for bi, smp in enumerate(samples):
+                h, w = smp["image"].shape[:2]
+                img_pad[bi, :h, :w] = smp["image"]
+                cls_labels[bi] = smp["cls_label"]
+                hw[bi] = [h, w]
 
-        img_pad = np.zeros((1, pad_i, pad_i, 3), np.uint8)
-        img_pad[0, :h, :w] = img
-        gt_pad = np.full((1, pad_i, pad_i), 255, np.uint8)
-        hw = np.array([[h, w]], np.int32)
-
-        outs = step(
-            params,
-            jnp.asarray(img_pad), jnp.asarray(gt_pad),
-            jnp.asarray(smp["cls_label"][None]),
-            jnp.asarray(hw),
-        )
-        # extras: [probs?] seg_vd r_cam [crf_label?]
-        extra_i = 1
-        if host_crf:
-            probs = np.asarray(outs[extra_i])[0, :h, :w]
-            pred = crf_refine_host(cfg, img, probs)
-        elif crf_on_device:
-            pred = np.asarray(outs[-1])[0, :h, :w]
-        else:
-            pred = np.asarray(outs[extra_i])[0, :h, :w]
-        save_seg(pred.astype(np.uint8), os.path.join(dst, smp["name"] + ".png"),
-                 cfg.num_classes)
+            outs = step(
+                params,
+                jnp.asarray(img_pad), jnp.asarray(gt_pad),
+                jnp.asarray(cls_labels), jnp.asarray(hw),
+            )
+            # extras: [probs?] seg_vd r_cam [crf_label?]
+            if host_crf:
+                probs_b = np.asarray(outs[1])
+            elif crf_on_device:
+                pred_b = np.asarray(outs[-1])
+            else:
+                pred_b = np.asarray(outs[1])
+            for bi in range(nvalid):
+                smp = samples[bi]
+                h, w = smp["image"].shape[:2]
+                if host_crf:
+                    pred = crf_refine_host(cfg, smp["image"], probs_b[bi, :h, :w])
+                else:
+                    pred = pred_b[bi, :h, :w]
+                save_seg(
+                    pred.astype(np.uint8),
+                    os.path.join(dst, smp["name"] + ".png"),
+                    cfg.num_classes,
+                )
     return dst

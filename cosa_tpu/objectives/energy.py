@@ -35,38 +35,34 @@ from cosa_tpu.ops.bilateral import (
 from cosa_tpu.ops.image import denormalize_u8
 from cosa_tpu.ops.resize import resize_bilinear, resize_nearest
 
-# lattice-energy / exact-energy scale at training-shape statistics (see the
-# measurement note in _filter below)
-_LATTICE_CONVENTION = 0.62
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed,
-                  half):
+                  half, convention=1.0):
     as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed,
-                       half) * gate
+                       half, convention) * gate
     n = seg_roi.shape[0]
     return -jnp.vdot(seg_roi, as_gated) / n
 
 
-def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed, half=False):
+def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed, half=False,
+            convention=1.0):
     b, h, w, k = seg_roi.shape
     v = seg_roi.reshape(b, h * w, k)
     f = feats.reshape(b, h * w, -1)
     if filter_kind == "exact":
         out = exact_gaussian_filter(f, v)
     elif filter_kind == "rff":
-        # fast approximation of the exact Gaussian transform, rescaled to the
-        # lattice's convention so the 1e-7 loss weight keeps the reference's
-        # meaning. The lattice/exact energy ratio is feature-spread-dependent:
-        # ~0.52 at toy 16^2-24^2 shapes but 0.60/0.66/0.66 measured at the
-        # REAL training statistics (224^2/160^2/112^2 natural-statistics
-        # images, sigma_xy 50, sigma_rgb 15, vs the native C++ oracles;
-        # direction cos(lattice, exact) >= 0.998 throughout, and
-        # cos(rff_D=1024, lattice) = 0.986 at 224^2 — see
-        # tests/test_energy.py::test_rff_tracks_lattice_at_real_shape).
-        # The constant is calibrated for the shape training actually runs.
-        out = _LATTICE_CONVENTION * rff_gaussian_filter(
+        # fast approximation of the exact Gaussian transform, rescaled by
+        # ``convention`` into the reference lattice's energy scale so the
+        # 1e-7 loss weight keeps the reference's meaning. The lattice/exact
+        # energy ratio is feature-spread-dependent (~0.52 at toy 16^2-24^2
+        # shapes; 0.60/0.66/0.66 measured at 224^2/160^2/112^2
+        # natural-statistics images vs the native C++ oracles, with
+        # cos(lattice, exact) >= 0.998 and cos(rff_D=1024, lattice) = 0.986
+        # at 224^2), so there is no universal constant: training runs
+        # auto-calibrate it on the first real batch at the actual energy
+        # resolution (resolve_energy_convention below).
+        out = convention * rff_gaussian_filter(
             f, v, n_features=rff_features, seed=rff_seed,
             dtype=jnp.bfloat16 if half else jnp.float32,
         )
@@ -82,15 +78,16 @@ def _filter(seg_roi, feats, filter_kind, rff_features, rff_seed, half=False):
 
 
 def _dense_energy_fwd(seg_roi, feats, gate, filter_kind, rff_features, rff_seed,
-                      half):
+                      half, convention=1.0):
     as_gated = _filter(seg_roi, feats, filter_kind, rff_features, rff_seed,
-                       half) * gate
+                       half, convention) * gate
     n = seg_roi.shape[0]
     loss = -jnp.vdot(seg_roi, as_gated) / n
     return loss, (as_gated, n)
 
 
-def _dense_energy_bwd(filter_kind, rff_features, rff_seed, half, res, g):
+def _dense_energy_bwd(filter_kind, rff_features, rff_seed, half, convention,
+                      res, g):
     # reference gradient convention (seg_helper.py:898-903): -2 g AS_gated / N.
     # (The ROI factor is implicit: seg_roi = probs * ROI upstream, so the ROI
     # product is applied by the chain rule through that multiply.)
@@ -115,6 +112,7 @@ def get_energy_loss(
     rff_seed: int = 0,
     ignore_index: int = 255,
     half: bool = False,
+    convention: float = 1.0,
 ) -> jnp.ndarray:
     """img: normalized NHWC; seg_logits: (B, H, W, C) at label resolution;
     label: (B, H, W) pseudo mask; img_box: (B, 4)."""
@@ -138,5 +136,87 @@ def get_energy_loss(
     feats = pixel_features(s_img, sigma_rgb, sigma_xy * scale_factor)
     feats = jax.lax.stop_gradient(feats)
     gate = jax.lax.stop_gradient(gate)
-    loss = _dense_energy(seg_roi, feats, gate, filter_kind, rff_features, rff_seed, half)
+    loss = _dense_energy(seg_roi, feats, gate, filter_kind, rff_features,
+                         rff_seed, half, float(convention))
     return weight * loss
+
+
+def resolve_energy_convention(cfg, images_u8, n_probe: int = 2):
+    """Auto-calibrate the rff->lattice energy convention on REAL images at
+    the ACTUAL energy resolution the run will use.
+
+    Replaces the round-2 baked constant (0.62 — measured shape-dependent
+    0.60-0.66, silently wrong at non-224^2 energy resolutions). Procedure:
+    features are built exactly like get_energy_loss (nearest-downscaled
+    first-batch crops, sigma_xy scaled by energy_scale); probe value maps are
+    smooth softmax fields at two sharpness levels (the uniform-ish early-
+    training regime and the peaky late-training regime); the returned scale
+    is sum(E_lattice)/sum(E_rff) with E = <v, filter(v)>, the ratio of the
+    two quadratic forms. The lattice side runs the native C++ oracle
+    (cosa_tpu/native, bit-exact vs the reference lattice) on host, falling
+    back to the pure-JAX lattice on the CPU backend; the rff side runs the
+    exact training configuration (n_features, seed, bf16-ness) so any rff
+    bias is absorbed into the calibration.
+
+    Returns (convention, info_dict). Reference for the convention being
+    calibrated: utils/bilateralfilter/permutohedral.cpp:443-631 (the
+    lattice's splat/blur/slice mass scaling).
+    """
+    import numpy as np
+
+    imgs = jnp.asarray(images_u8[:4], jnp.float32)
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    c = cfg.num_classes
+    sh, sw = max(1, int(h * cfg.energy_scale)), max(1, int(w * cfg.energy_scale))
+    s_img = resize_nearest(imgs, (sh, sw))
+    feats = pixel_features(
+        s_img, cfg.energy_sigma_rgb, cfg.energy_sigma_xy * cfg.energy_scale
+    )
+    f_flat = np.asarray(feats).reshape(b, sh * sw, 5)
+
+    rng = np.random.default_rng(cfg.seed + 17)
+    gh, gw = max(1, sh // 8), max(1, sw // 8)
+    ratios = []
+    for probe, amp in zip(range(n_probe), (2.0, 8.0)):
+        logits = rng.standard_normal((b, gh, gw, c)).astype(np.float32) * amp
+        logits = resize_bilinear(jnp.asarray(logits), (sh, sw))
+        v = jax.nn.softmax(logits, axis=-1)
+        v_flat = v.reshape(b, sh * sw, c)
+        rff_out = rff_gaussian_filter(
+            jnp.asarray(f_flat), v_flat,
+            n_features=cfg.energy_rff_features, seed=0,
+            dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+        )
+        e_rff = float(jnp.vdot(v_flat, rff_out))
+        v_np = np.asarray(v_flat)
+        try:
+            from cosa_tpu.native.build import lattice_gaussian_cpu
+
+            lat = np.stack(
+                [lattice_gaussian_cpu(f_flat[i], v_np[i]) for i in range(b)]
+            )
+        except Exception:  # no C++ toolchain: pure-JAX lattice on CPU
+            from cosa_tpu.ops.permutohedral import permutohedral_filter
+
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                lat = np.stack([
+                    np.asarray(permutohedral_filter(
+                        jnp.asarray(f_flat[i]), jnp.asarray(v_np[i])
+                    ))
+                    for i in range(b)
+                ])
+        e_lat = float(np.vdot(v_np, lat))
+        ratios.append(e_lat / e_rff)
+
+    conv = float(np.mean(ratios))
+    info = dict(
+        per_probe=[round(r, 4) for r in ratios],
+        spread=round(float(np.max(ratios) - np.min(ratios)), 4),
+        energy_res=(sh, sw),
+    )
+    if not 0.2 < conv < 1.5:
+        raise RuntimeError(
+            f"energy convention calibration out of sane band: {conv} {info}"
+        )
+    return conv, info

@@ -64,6 +64,21 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
         state = load_pretrained_into_state(cfg, state)
         writer.print(f"loaded pretrained weights from {cfg.pretrained_path}")
 
+    if cfg.energy_filter == "rff" and cfg.energy_convention <= 0:
+        # auto-calibrate the rff->lattice energy convention on real first-
+        # epoch crops at the actual energy resolution (replaces the round-2
+        # baked 0.62, which was only correct at 224^2)
+        from cosa_tpu.data.loader import build_train_dataset
+        from cosa_tpu.objectives.energy import resolve_energy_convention
+
+        cal_ds = build_train_dataset(cfg)
+        imgs = np.stack(
+            [cal_ds[(0, i)]["wimg"] for i in range(min(4, len(cal_ds)))]
+        )
+        conv, info = resolve_energy_convention(cfg, imgs)
+        cfg = cfg.replace(energy_convention=conv)
+        writer.print(f"energy convention auto-calibrated: {conv:.4f} {info}")
+
     tx = build_optimizer(cfg, state.student)
     step_fn = jax.jit(build_train_step(cfg, model, tx), donate_argnums=0)
     state = jax.device_put(state, state_sharding(state, mesh))
@@ -243,12 +258,21 @@ def _run_validation(cfg, model, state, val_ds, writer, n_iter, out_dir,
     cats = class_list(cfg.dataset, cfg.split_dir)[: cfg.num_classes]
     fast_n = cfg.fasteval_n if cfg.fasteval else None
 
+    # reference layout for raw-CAM dumps: {output_dir}/{epoch}/camraw_dir
+    # (evaluation_engine.py:70-72); ON and AN share the dir, the second
+    # eval's files win — the reference's own overwrite quirk, kept verbatim
+    rawcam_dir = (
+        os.path.join(out_dir, str(n_iter), "camraw_dir")
+        if cfg.turnon_rawcam else None
+    )
     res_s = evaluate(cfg, model, state.student, val_ds,
                      threshold_filters=cfg.eval_threshold_filters,
-                     max_images=fast_n, mesh=mesh)
+                     max_images=fast_n, mesh=mesh,
+                     save_rawcam_dir=rawcam_dir)
     res_t = evaluate(cfg, model, state.teacher, val_ds,
                      threshold_filters=cfg.eval_threshold_filters,
-                     max_images=fast_n, mesh=mesh)
+                     max_images=fast_n, mesh=mesh,
+                     save_rawcam_dir=rawcam_dir)
 
     # the reference writes the 0-based loop index here (main.py:377-378:
     # `iters:{n_iter}` inside `if (n_iter+1) % eval_iters == 0`), i.e. one
@@ -353,7 +377,12 @@ def finaleval(cfg: Config) -> Dict:
             "resolution (exact Gaussian transform); for reference-parity "
             "comparisons use --crf_backend native (full-res host lattice)"
         )
-    res = evaluate(cfg, model, params, test_ds, getcrf=True, mesh=mesh)
+    rawcam_dir = (
+        os.path.join(out_dir, "best1", "camraw_dir")  # reference main.py:422
+        if cfg.turnon_rawcam else None
+    )
+    res = evaluate(cfg, model, params, test_ds, getcrf=True, mesh=mesh,
+                   save_rawcam_dir=rawcam_dir)
     cats = class_list(cfg.dataset, cfg.split_dir)[: cfg.num_classes]
     names = [k for k in res if k != "cls_aps"]
     writer.print("Final Model Result:\n" + format_iou_table(

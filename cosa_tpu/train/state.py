@@ -41,7 +41,8 @@ class TrainState:
 
 
 def init_gmm_state(cfg, global_batch: int) -> GMMState:
-    if cfg.usegmm:
+    use_aux = cfg.usegmm if cfg.usegmmaux is None else cfg.usegmmaux
+    if cfg.usegmm or use_aux:
         q = global_batch * cfg.queue_update_ratio
         dim = (cfg.crop_size // cfg.gmmscale) ** 2
         # reference seeds the queue with uniform noise (seg_helper.py:949)

@@ -73,6 +73,17 @@ def build_train_step(
         "v3": partial(cam_loss_v3, seg_confident_thre=cfg.segconf_thre),
     }[cfg.camloss_version]
 
+    # the rff energy surrogate needs a calibrated rescale into the reference
+    # lattice's convention; train() resolves 0.0 -> measured value before
+    # building the step (direct builders must set cfg.energy_convention)
+    energy_convention = float(cfg.energy_convention)
+    if cfg.energy_filter == "rff" and energy_convention <= 0:
+        raise ValueError(
+            "cfg.energy_convention is unresolved (0.0 = auto). Call "
+            "objectives.energy.resolve_energy_convention on a real batch "
+            "first (train() does this), or set it explicitly."
+        )
+
     refine_fn = None
     if cfg.usepar:
         refine_fn = lambda imgs, probs: par_refine(
@@ -108,27 +119,48 @@ def build_train_step(
         valid_cam = cam_validation(cam_src, cls_label)
         valid_cam_aux = cam_validation(cam_aux_ps, cls_label)
 
+        # GMM gates: usegmm drives the main head; usegmmaux (None = follow
+        # usegmm, the reference-parity coupling of main.py:138/174) gates the
+        # aux head's thresholds independently — the reference declares the
+        # flag (args.py:60) but never consumes it; here it works.
+        use_gmm_aux = cfg.usegmm if cfg.usegmmaux is None else cfg.usegmmaux
         gmm = state.gmm
-        if cfg.usegmm:
-            q, ptr = _update_queue(gmm.queue, gmm.ptr, _gmm_maxrow(valid_cam, cfg.gmmscale))
-            qa, _ = _update_queue(gmm.queue_aux, gmm.ptr, _gmm_maxrow(valid_cam_aux, cfg.gmmscale))
-            lo, hi = gmm_thresholds(q, cfg.gmmfilter_thre, 3,
-                                    cfg.gmm_em_iters, cfg.gmm_em_subsample)
-            lo_a, hi_a = gmm_thresholds(qa, cfg.gmmfilter_thre, 3,
-                                        cfg.gmm_em_iters, cfg.gmm_em_subsample)
+        if cfg.usegmm or use_gmm_aux:
             d = cfg.gmmemadecay
+            q, qa, ptr = gmm.queue, gmm.queue_aux, gmm.ptr
+            ema_low, ema_high = gmm.ema_low, gmm.ema_high
+            ema_low_aux, ema_high_aux = gmm.ema_low_aux, gmm.ema_high_aux
+            if cfg.usegmm:
+                q, ptr = _update_queue(
+                    gmm.queue, gmm.ptr, _gmm_maxrow(valid_cam, cfg.gmmscale)
+                )
+                lo, hi = gmm_thresholds(q, cfg.gmmfilter_thre, 3,
+                                        cfg.gmm_em_iters, cfg.gmm_em_subsample)
+                ema_low = ema_low * d + lo * (1 - d)
+                ema_high = ema_high * d + hi * (1 - d)
+            if use_gmm_aux:
+                qa, ptr = _update_queue(
+                    gmm.queue_aux, gmm.ptr,
+                    _gmm_maxrow(valid_cam_aux, cfg.gmmscale),
+                )
+                lo_a, hi_a = gmm_thresholds(qa, cfg.gmmfilter_thre, 3,
+                                            cfg.gmm_em_iters,
+                                            cfg.gmm_em_subsample)
+                ema_low_aux = ema_low_aux * d + lo_a * (1 - d)
+                ema_high_aux = ema_high_aux * d + hi_a * (1 - d)
             gmm = GMMState(
                 queue=q, queue_aux=qa, ptr=ptr,
-                ema_low=gmm.ema_low * d + lo * (1 - d),
-                ema_high=gmm.ema_high * d + hi * (1 - d),
-                ema_low_aux=gmm.ema_low_aux * d + lo_a * (1 - d),
-                ema_high_aux=gmm.ema_high_aux * d + hi_a * (1 - d),
+                ema_low=ema_low, ema_high=ema_high,
+                ema_low_aux=ema_low_aux, ema_high_aux=ema_high_aux,
             )
-            threlow, threhigh = gmm.ema_low, gmm.ema_high
-            threlow_a, threhigh_a = gmm.ema_low_aux, gmm.ema_high_aux
-        else:
-            threlow, threhigh = cfg.low_thre, cfg.high_thre
-            threlow_a, threhigh_a = cfg.low_thre_aux, cfg.high_thre_aux
+        threlow, threhigh = (
+            (gmm.ema_low, gmm.ema_high) if cfg.usegmm
+            else (cfg.low_thre, cfg.high_thre)
+        )
+        threlow_a, threhigh_a = (
+            (gmm.ema_low_aux, gmm.ema_high_aux) if use_gmm_aux
+            else (cfg.low_thre_aux, cfg.high_thre_aux)
+        )
 
         images01 = denormalize01(simg) if cfg.usepar else None
         mask_kwargs = dict(
@@ -180,6 +212,7 @@ def build_train_step(
                 rff_features=cfg.energy_rff_features,
                 ignore_index=cfg.ignore_index,
                 half=cfg.mixed_precision,
+                convention=energy_convention,
             )
 
             cl = camloss_fn(out["cam"], valid_seg_ps)

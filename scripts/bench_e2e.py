@@ -69,6 +69,7 @@ def main() -> None:
         data_root=root,
         split_dir=os.path.join(root, "splits"),
         num_workers=8,
+        energy_convention=1.0,  # perf bench; scale irrelevant
     )
     mesh = make_mesh(dp=jax.device_count(), tp=1)
     model = build_model(cfg)

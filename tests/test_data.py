@@ -201,3 +201,25 @@ def test_train_dataset_needs_no_masks(tmp_path):
     s = ds[(0, 1)]
     assert s["wimg"].shape == (64, 64, 3)
     assert s["cls_label"][1] == 1
+
+
+def test_process_pool_loader_matches_threads():
+    """num_workers < 0 selects the fork-pool decode path (GIL-contention
+    insurance on many-core hosts); it must produce bit-identical batches to
+    the thread pool (same deterministic (seed, epoch, idx) stream)."""
+    cfg = preset_config("synthetic", crop_size=64)
+    ds = build_train_dataset(cfg)
+    lt = TrainLoader(ds, batch_size=4, seed=0, num_workers=2,
+                     process_index=0, process_count=1)
+    lp = TrainLoader(ds, batch_size=4, seed=0, num_workers=-2,
+                     process_index=0, process_count=1)
+    try:
+        for _ in range(2):
+            bt, bp = next(lt), next(lp)
+            np.testing.assert_array_equal(bt["wimg"], bp["wimg"])
+            np.testing.assert_array_equal(bt["simg"], bp["simg"])
+            np.testing.assert_array_equal(bt["cls_label"], bp["cls_label"])
+            np.testing.assert_array_equal(bt["img_box"], bp["img_box"])
+    finally:
+        lt.close()
+        lp.close()

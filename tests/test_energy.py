@@ -48,18 +48,17 @@ def test_orf_matches_exact_filter_direction():
 
 
 def test_rff_energy_close_to_exact_energy():
-    from cosa_tpu.objectives.energy import _LATTICE_CONVENTION
-
     img = jnp.asarray(_natural_image(16, 16))
     feats = pixel_features(img, 15.0, 50.0)
     seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
     gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
-    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0, False))
-    # undo the lattice-convention rescale: the raw RFF estimate must match
-    # the exact transform at D=4096
+    e_exact = float(
+        _dense_energy(seg_roi, feats, gate, "exact", 0, 0, False, 1.0)
+    )
+    # with convention=1 the raw RFF estimate must match the exact transform
     e_rff = float(
-        _dense_energy(seg_roi, feats, gate, "rff", 4096, 0, False)
-    ) / _LATTICE_CONVENTION
+        _dense_energy(seg_roi, feats, gate, "rff", 4096, 0, False, 1.0)
+    )
     assert abs(e_rff - e_exact) / abs(e_exact) < 0.1
 
 
@@ -68,25 +67,75 @@ def test_lattice_energy_matches_exact_up_to_convention():
     feats = pixel_features(img, 15.0, 50.0)
     seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
     gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
-    e_exact = float(_dense_energy(seg_roi, feats, gate, "exact", 0, 0, False))
-    e_lat = float(_dense_energy(seg_roi, feats, gate, "lattice", 0, 0, False))
+    e_exact = float(
+        _dense_energy(seg_roi, feats, gate, "exact", 0, 0, False, 1.0)
+    )
+    e_lat = float(
+        _dense_energy(seg_roi, feats, gate, "lattice", 0, 0, False, 1.0)
+    )
     ratio = e_lat / e_exact
     assert 0.43 < ratio < 0.62, ratio  # 1/1.94 lattice convention + approx error
 
 
-def test_rff_energy_close_to_lattice_energy():
-    """The two production filter options must agree with each other. The
-    convention constant is calibrated at the TRAINING shape, where the
-    lattice/exact ratio is ~0.60-0.66; at this toy 16^2 shape the lattice's
-    own ratio is ~0.52, so allow the corresponding scale slack here (the
-    real-shape agreement is asserted in test_rff_tracks_lattice_at_real_shape)."""
-    img = jnp.asarray(_natural_image(16, 16))
-    feats = pixel_features(img, 15.0, 50.0)
-    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
-    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
-    e_lat = float(_dense_energy(seg_roi, feats, gate, "lattice", 0, 0, False))
-    e_rff = float(_dense_energy(seg_roi, feats, gate, "rff", 4096, 0, False))
-    assert abs(e_rff - e_lat) / abs(e_lat) < 0.3
+def test_auto_calibration_path():
+    """The calibrated convention must bring the rff energy into the lattice's
+    scale on an INDEPENDENT probe (different RNG than the calibration's),
+    and be deterministic. Replaces the round-2 baked 0.62 constant."""
+    from cosa_tpu.config import voc_config
+    from cosa_tpu.objectives.energy import resolve_energy_convention
+
+    cfg = voc_config(
+        crop_size=48, num_classes=6, energy_rff_features=1024,
+        mixed_precision=False,
+    )
+    rng = np.random.default_rng(9)
+    imgs = np.stack([
+        np.asarray(_natural_image(48, 48))[0] for _ in range(4)
+    ]).astype(np.uint8)
+    conv, info = resolve_energy_convention(cfg, imgs)
+    assert 0.3 < conv < 0.9, (conv, info)
+    conv2, _ = resolve_energy_convention(cfg, imgs)
+    assert conv == conv2  # deterministic
+
+    # independent probe at the same energy resolution
+    sh = int(48 * cfg.energy_scale)
+    img = jnp.asarray(imgs[:1], jnp.float32)
+    from cosa_tpu.ops.resize import resize_nearest
+
+    s_img = resize_nearest(img, (sh, sh))
+    feats = pixel_features(
+        s_img, cfg.energy_sigma_rgb, cfg.energy_sigma_xy * cfg.energy_scale
+    )
+    v = jnp.asarray(rng.random((1, sh, sh, 6)), jnp.float32)
+    v = v / v.sum(-1, keepdims=True)
+    gate = jnp.ones((1, sh, sh, 1), jnp.float32)
+    e_lat = float(
+        _dense_energy(v, feats, gate, "lattice", 0, 0, False, 1.0)
+    )
+    e_rff = float(
+        _dense_energy(v, feats, gate, "rff", 1024, 0, False, conv)
+    )
+    assert abs(e_rff - e_lat) / abs(e_lat) < 0.25, (e_rff, e_lat, conv)
+
+
+def test_unresolved_convention_raises():
+    import pytest
+
+    from cosa_tpu.config import preset_config
+    from cosa_tpu.models import build_model
+    from cosa_tpu.train import build_optimizer, build_train_step
+    from cosa_tpu.train.state import create_train_state
+
+    cfg = preset_config(
+        "synthetic", backbone="vit_tiny_test", mixed_precision=False,
+        flash_attention=False,
+    )
+    assert cfg.energy_convention == 0.0  # default = auto
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, cfg.batch_size)
+    tx = build_optimizer(cfg, state.student)
+    with pytest.raises(ValueError, match="energy_convention"):
+        build_train_step(cfg, model, tx)
 
 
 def test_rff_tracks_lattice_at_real_shape():
@@ -138,7 +187,9 @@ def test_custom_gradient_convention():
     seg_roi = jnp.asarray(RNG.random((1, 16, 16, 3)), jnp.float32)
     gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
 
-    g = jax.grad(lambda s: _dense_energy(s, feats, gate, "exact", 0, 0, False))(seg_roi)
+    g = jax.grad(
+        lambda s: _dense_energy(s, feats, gate, "exact", 0, 0, False, 1.0)
+    )(seg_roi)
     as_gated = _filter(seg_roi, feats, "exact", 0, 0) * gate
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(-2.0 * as_gated / 1), rtol=1e-5, atol=1e-6

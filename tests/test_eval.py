@@ -122,3 +122,33 @@ def test_sharded_eval_matches_unsharded():
     b = evaluate(cfg, model, params, ds, max_images=6, mesh=mesh)
     for k in ("CAM", "aux_CAM", "Seg_ps", "Seg_vd"):
         assert a[k]["miou"] == pytest.approx(b[k]["miou"], abs=1e-4), k
+
+
+def test_batched_map_dumps_match_single(tmp_path):
+    """save_dir/save_rawcam_dir no longer force batch 1 (round-2
+    restriction): the batched artifact path writes the same per-image dumps
+    as batch 1."""
+    import os
+
+    base = dict(
+        backbone="vit_tiny_test", crop_size=64, mixed_precision=False,
+        flash_attention=False, eval_scales=(1.0,),
+    )
+    cfg1 = preset_config("synthetic", eval_batch=1, **base)
+    cfg3 = preset_config("synthetic", eval_batch=3, **base)
+    model = build_model(cfg1)
+    state = create_train_state(cfg1, model, 2)
+    ds = build_val_dataset(cfg1)
+    d1, d3 = str(tmp_path / "b1"), str(tmp_path / "b3")
+    evaluate(cfg1, model, state.student, ds, max_images=4, save_rawcam_dir=d1)
+    evaluate(cfg3, model, state.student, ds, max_images=4, save_rawcam_dir=d3)
+    f1 = sorted(os.listdir(d1))
+    assert f1 == sorted(os.listdir(d3)) and len(f1) == 4
+    import numpy as np
+
+    for f in f1:
+        a = np.load(os.path.join(d1, f), allow_pickle=True).item()
+        b = np.load(os.path.join(d3, f), allow_pickle=True).item()
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=2e-5)

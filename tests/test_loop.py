@@ -106,3 +106,21 @@ def test_finaleval_roundtrip(tmp_path):
         loop_mod.evaluate = orig
     assert "Seg_crf" in res
     assert 0.0 <= res["Seg_crf"]["miou"] <= 1.0
+
+
+def test_turnon_rawcam_dumps(tmp_path):
+    """turnon_rawcam (reference main.py:338: save_rawcam through every
+    validation) writes {out}/{iter}/camraw_dir/*.npy per val image."""
+    from cosa_tpu.train.loop import train
+
+    cfg = _cfg(
+        tmp_path / "rawcam", turnon_rawcam=True, max_iters=3, eval_iters=3,
+        fasteval=True, fasteval_n=2,
+    )
+    train(cfg)
+    d = os.path.join(str(tmp_path / "rawcam"), "3", "camraw_dir")
+    assert os.path.isdir(d), d
+    files = [f for f in os.listdir(d) if f.endswith(".npy")]
+    assert files, "no rawcam dumps written"
+    cam = np.load(os.path.join(d, files[0]), allow_pickle=True).item()
+    assert all(v.ndim == 2 for v in cam.values())  # per-class 2-D CAM maps

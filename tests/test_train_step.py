@@ -21,6 +21,7 @@ def _cfg(**kw):
         mixed_precision=False,
         flash_attention=False,
         energy_rff_features=64,
+        energy_convention=1.0,
         **kw,
     )
 
@@ -121,6 +122,28 @@ def test_optional_subsystems(flag):
     if flag == "usegmm":
         assert int(state.gmm.ptr) == 2 * cfg.batch_size * 8 % state.gmm.queue.shape[0]
         assert 0.0 <= float(metrics["thre_low"]) <= 1.5
+
+
+def test_usegmmaux_gates_aux_thresholds_independently():
+    """usegmmaux (dead flag in the reference, args.py:60; real here): the aux
+    head's GMM thresholds move only when its gate is on."""
+    mesh = make_mesh(dp=8, tp=1)
+    # usegmm on, aux explicitly off: main EMAs move, aux EMAs stay at init
+    cfg = _cfg(usegmm=True, usegmmaux=False, gmm_em_iters=10)
+    state, _ = _run_steps(cfg, mesh, n_steps=2)
+    assert float(state.gmm.ema_low) != cfg.low_thre
+    assert float(state.gmm.ema_low_aux) == cfg.low_thre_aux
+    # aux-only gating: main static, aux adapts
+    cfg = _cfg(usegmm=False, usegmmaux=True, gmm_em_iters=10)
+    state, metrics = _run_steps(cfg, mesh, n_steps=2)
+    assert np.isfinite(float(metrics["overall_loss"]))
+    assert float(state.gmm.ema_low) == cfg.low_thre
+    assert float(state.gmm.ema_low_aux) != cfg.low_thre_aux
+    # default None follows usegmm (reference-parity coupling, main.py:174)
+    cfg = _cfg(usegmm=True, gmm_em_iters=10)
+    assert cfg.usegmmaux is None
+    state, _ = _run_steps(cfg, mesh, n_steps=2)
+    assert float(state.gmm.ema_low_aux) != cfg.low_thre_aux
 
 
 def test_coco_class_count_train_step():
