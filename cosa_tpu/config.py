@@ -68,6 +68,14 @@ class Config:
     # reference: args.py:37-78
     max_iters: int = 40000
     warmup_iters: int = 6000  # loss-gating warmup (main.py:240)
+    # tiny always-on weight for the gated (seg/cam/reg) losses DURING warmup.
+    # 0.0 = reference parity (hard zero gate). A small floor (e.g. 0.01)
+    # keeps Adam's second moments calibrated for the decoder throughout
+    # warmup; with a hard gate those moments are empty, and the first
+    # post-gate update is a coordinated +-lr*lrscale sign-kick that can
+    # permanently kill the bias-free LargeFOV ReLUs (observed: from-scratch
+    # ShapesWSSS run, seg_loss frozen at log(21) from iter 1500 on).
+    warmup_gate_floor: float = 0.0
     lr_warmup_iters: int = 1500  # optimizer LR warmup (main.py:67)
     lr: float = 6e-5
     lrscale: float = 10.0  # head/decoder LR multiplier (args.py:123)

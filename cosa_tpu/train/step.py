@@ -221,7 +221,9 @@ def build_train_step(
                 cl = (1 - cfg.aux_seg2cam_alpha) * cl + cfg.aux_seg2cam_alpha * cl_aux
 
             # warmup gating (main.py:240-243)
-            gate = jnp.where(state.step <= cfg.warmup_iters, 0.0, 1.0)
+            gate = jnp.where(
+                state.step <= cfg.warmup_iters, cfg.warmup_gate_floor, 1.0
+            )
             total = (
                 cls_loss
                 + cls_aux_loss

@@ -27,6 +27,7 @@ python -m cosa_tpu.cli.train "$NAME" --dataset VOC12 \
   --max_iters 10000 \
   --warmup_iters 1500 \
   --lr_warmup_iters 500 \
+  --warmup_gate_floor 0.01 \
   --eval_iters 500 \
   --batch_size 4 \
   --work_dir work_dirs/"$NAME" \

@@ -161,3 +161,23 @@ def test_maskformer_decoder_train_step():
     mesh = make_mesh(dp=8, tp=1)
     state, metrics = _run_steps(cfg, mesh, n_steps=1)
     assert np.isfinite(float(metrics["overall_loss"]))
+
+
+def test_warmup_gate_floor_prewarms_decoder_moments():
+    """warmup_gate_floor keeps seg/cam/reg gradients flowing (scaled tiny)
+    during warmup so Adam's moments are calibrated at gate opening — the
+    hard zero gate (reference parity, default) gives the decoder exactly
+    zero gradients and an unconditioned first post-gate step."""
+    mesh = make_mesh(dp=8, tp=1)
+
+    def decoder_kernel(cfg):
+        state, _ = _run_steps(cfg, mesh, n_steps=1)
+        return np.asarray(
+            jax.tree.leaves(state.student["decoder"])[0]
+        ), state
+
+    k0, s0 = decoder_kernel(_cfg(warmup_iters=100))
+    k1, s1 = decoder_kernel(_cfg(warmup_iters=100, warmup_gate_floor=0.01))
+    # floor=0: decoder moves only by decoupled weight decay; floor>0: a real
+    # gradient flows — the updates must differ
+    assert not np.array_equal(k0, k1)
