@@ -164,6 +164,12 @@ class Config:
     # 4.1 ms, fwd+bwd 6.2 vs 10.3 ms; N=785 fwd 2.0 vs 3.5 ms. (The round-1
     # wrapper around the STOCK pallas flash op lost to XLA and was dropped.)
     flash_attention: bool = True
+    # int8 teacher TTA: run the EMA teacher's encoder projections (qkv/proj/
+    # fc1/fc2) as dynamic int8 matmuls (models/quant.py). The teacher is
+    # no-grad and its CAMs feed min-max normalization + fixed thresholds, so
+    # the precision tolerance is high; weights re-quantize from the f32 EMA
+    # inside the jit each step. Default off pending accuracy validation.
+    teacher_int8: bool = False
     dp: int = -1  # data-parallel mesh size (-1: all devices / tp)
     tp: int = 1  # tensor-parallel mesh size (model axis)
     donate: bool = True

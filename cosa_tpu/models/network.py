@@ -36,6 +36,7 @@ class CoSANetwork(nn.Module):
     isgap: bool = False
     dtype: Any = jnp.float32
     use_flash: bool = False
+    quant: bool = False  # int8 encoder projections (no-grad teacher only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, detach: str = "none") -> Dict[str, jnp.ndarray]:
@@ -57,6 +58,7 @@ class CoSANetwork(nn.Module):
             aux_layer=self.aux_layer,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            quant=self.quant,
             name="encoder",
         )(x)
         d = cfg.embed_dim
@@ -115,8 +117,11 @@ class CoSANetwork(nn.Module):
         )
 
 
-def build_model(cfg) -> CoSANetwork:
-    """Model factory (reference models/__init__.py:13-79, 'vit' branch)."""
+def build_model(cfg, quant: bool = False) -> CoSANetwork:
+    """Model factory (reference models/__init__.py:13-79, 'vit' branch).
+
+    ``quant=True`` builds the int8-projection twin (same param tree) used
+    for the no-grad teacher TTA when cfg.teacher_int8 is on."""
     assert cfg.model == "vit", f"unsupported model {cfg.model}"
     import jax.numpy as jnp
 
@@ -132,4 +137,5 @@ def build_model(cfg) -> CoSANetwork:
         isgap=cfg.isgap,
         dtype=dtype,
         use_flash=use_flash,
+        quant=quant,
     )

@@ -59,7 +59,8 @@ class Attention(nn.Module):
 
     Reference: models/vit/vit.py:105-137. The reference materializes the
     full attention matrix in f32; here scores never leave registers/VMEM
-    when the Pallas kernel is active.
+    when the Pallas kernel is active. ``quant`` switches the qkv/proj
+    projections to dynamic int8 (models/quant.py; no-grad teacher only).
     """
 
     num_heads: int
@@ -67,6 +68,7 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     n_valid: Optional[int] = None  # tokens beyond this index are padding
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +76,11 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = c // h
         nv = self.n_valid if (self.n_valid and self.n_valid < n) else None
-        qkv = nn.Dense(
+        if self.quant:
+            from cosa_tpu.models.quant import QuantDense as _Dense
+        else:
+            _Dense = nn.Dense
+        qkv = _Dense(
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(x)
         qkv = qkv.reshape(b, n, 3, h, hd)
@@ -92,7 +98,7 @@ class Attention(nn.Module):
             p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(self.dtype)
             o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
         o = o.reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        return _Dense(c, dtype=self.dtype, name="proj")(o)
 
 
 class PatchEmbed(nn.Module):
@@ -138,11 +144,16 @@ class PatchEmbed(nn.Module):
 class Mlp(nn.Module):
     hidden: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        if self.quant:
+            from cosa_tpu.models.quant import QuantDense as _Dense
+        else:
+            _Dense = nn.Dense
+        x = _Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         # torch nn.GELU default is the exact erf form; keep it for f32
         # (CPU/parity paths). Under bf16 use the tanh approximation: its max
         # deviation from exact (~3e-3 near |x|=2) is below bf16's own
@@ -151,7 +162,7 @@ class Mlp(nn.Module):
         # ~0.9 ms/block of VPU time at the teacher batch (measured v5e:
         # exact-gelu MLP 2.54 ms vs tanh 2.03 vs no-gelu 1.79).
         x = nn.gelu(x, approximate=(self.dtype == jnp.bfloat16))
-        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        x = _Dense(d, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -163,6 +174,7 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     n_valid: Optional[int] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -171,10 +183,10 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(
             self.num_heads, self.qkv_bias, self.dtype, self.use_flash,
-            self.n_valid, name="attn"
+            self.n_valid, self.quant, name="attn"
         )(y.astype(self.dtype))
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
-        x = x + Mlp(int(d * self.mlp_ratio), self.dtype, name="mlp")(
+        x = x + Mlp(int(d * self.mlp_ratio), self.dtype, self.quant, name="mlp")(
             y.astype(self.dtype)
         )
         return x
@@ -185,6 +197,7 @@ class VisionTransformer(nn.Module):
     aux_layer: int = -3
     dtype: Any = jnp.float32
     use_flash: bool = False
+    quant: bool = False  # int8 projections (no-grad teacher TTA only)
 
     @nn.compact
     def __call__(
@@ -248,6 +261,7 @@ class VisionTransformer(nn.Module):
                 self.dtype,
                 self.use_flash,
                 n_tok if npp != n_tok else None,
+                self.quant,
                 name=f"blocks_{i}",
             )(tok)
             if i == aux_idx:

@@ -84,6 +84,13 @@ def build_train_step(
             "first (train() does this), or set it explicitly."
         )
 
+    # int8 teacher twin (same param tree, quantized projections)
+    teacher_model = model
+    if cfg.teacher_int8:
+        from cosa_tpu.models import build_model as _build_model
+
+        teacher_model = _build_model(cfg, quant=True)
+
     refine_fn = None
     if cfg.usepar:
         refine_fn = lambda imgs, probs: par_refine(
@@ -106,7 +113,7 @@ def build_train_step(
         h, w = simg.shape[1:3]
 
         # ---- teacher TTA pseudo labels (no grad) -------------------------
-        teacher_fwd = lambda x: model.apply({"params": state.teacher}, x)
+        teacher_fwd = lambda x: teacher_model.apply({"params": state.teacher}, x)
         cam_ps, cam_aux_ps, seg_ps = jax.lax.stop_gradient(
             multi_scale_camseg(
                 teacher_fwd, wimg, cfg.pseudo_scales,

@@ -181,3 +181,24 @@ def test_warmup_gate_floor_prewarms_decoder_moments():
     # floor=0: decoder moves only by decoupled weight decay; floor>0: a real
     # gradient flows — the updates must differ
     assert not np.array_equal(k0, k1)
+
+
+def test_int8_teacher_close_and_step_runs():
+    """teacher_int8: the int8-projection twin shares the param tree and its
+    CAM outputs track the float model closely (the teacher's consumers are
+    min-max normalize + thresholds); the full step runs with the flag on."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    model_q = build_model(cfg, quant=True)
+    state = create_train_state(cfg, model, 2)
+    x = jnp.asarray(RNG.standard_normal((1, 64, 64, 3)), jnp.float32)
+    of = model.apply({"params": state.student}, x)
+    oq = model_q.apply({"params": state.student}, x)
+    a = np.asarray(of["cam"]).ravel()
+    b = np.asarray(oq["cam"]).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.98, cos
+
+    mesh = make_mesh(dp=8, tp=1)
+    _, metrics = _run_steps(_cfg(teacher_int8=True), mesh, n_steps=1)
+    assert np.isfinite(float(metrics["overall_loss"]))
