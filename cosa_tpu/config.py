@@ -170,6 +170,14 @@ class Config:
     # the precision tolerance is high; weights re-quantize from the f32 EMA
     # inside the jit each step. Default off pending accuracy validation.
     teacher_int8: bool = False
+    # int8 pays off only when the matmuls are big enough to amortize the
+    # VPU quantize/dequantize at the boundaries: measured on v5e (fc1-shaped
+    # dynamic-quant matmul, scripts/microbench_int8.py) int8 end-to-end is
+    # 1.31x FASTER than bf16 at the 672^2 TTA scale (1765 tok: 1.71 vs
+    # 2.23 ms) but 1.7x SLOWER at 448^2 (785 tok: 2.81 vs 1.65 ms). This
+    # threshold applies int8 only to teacher TTA scales whose short side is
+    # >= the value (672-only at the default crop); 0 = every scale.
+    teacher_int8_min_size: int = 512
     dp: int = -1  # data-parallel mesh size (-1: all devices / tp)
     tp: int = 1  # tensor-parallel mesh size (model axis)
     donate: bool = True

@@ -84,12 +84,14 @@ def build_train_step(
             "first (train() does this), or set it explicitly."
         )
 
-    # int8 teacher twin (same param tree, quantized projections)
-    teacher_model = model
+    # int8 teacher twin (same param tree, quantized projections); applied
+    # per TTA scale — int8 only wins where the matmuls amortize the
+    # quantize boundaries (cfg.teacher_int8_min_size, measured on v5e)
+    quant_model = None
     if cfg.teacher_int8:
         from cosa_tpu.models import build_model as _build_model
 
-        teacher_model = _build_model(cfg, quant=True)
+        quant_model = _build_model(cfg, quant=True)
 
     refine_fn = None
     if cfg.usepar:
@@ -113,7 +115,13 @@ def build_train_step(
         h, w = simg.shape[1:3]
 
         # ---- teacher TTA pseudo labels (no grad) -------------------------
-        teacher_fwd = lambda x: teacher_model.apply({"params": state.teacher}, x)
+        def teacher_fwd(x):
+            m = model
+            if quant_model is not None and (
+                min(x.shape[1], x.shape[2]) >= cfg.teacher_int8_min_size
+            ):
+                m = quant_model
+            return m.apply({"params": state.teacher}, x)
         cam_ps, cam_aux_ps, seg_ps = jax.lax.stop_gradient(
             multi_scale_camseg(
                 teacher_fwd, wimg, cfg.pseudo_scales,

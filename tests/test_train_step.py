@@ -36,6 +36,18 @@ def _batch(cfg, n):
     )
 
 
+def _fixed_batch(cfg, n):
+    """Deterministic batch (own seeded Generator), for A/B-identical runs."""
+    rng = np.random.default_rng(7)
+    s = cfg.crop_size
+    return dict(
+        wimg=rng.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        simg=rng.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        cls_label=(rng.random((n, cfg.num_classes - 1)) > 0.8).astype(np.float32),
+        img_box=np.tile(np.array([[4, 60, 2, 62]], np.int32), (n, 1)),
+    )
+
+
 def _run_steps(cfg, mesh, n_steps=3):
     model = build_model(cfg)
     gbatch = cfg.batch_size * mesh.shape["data"]
@@ -200,5 +212,27 @@ def test_int8_teacher_close_and_step_runs():
     assert cos > 0.98, cos
 
     mesh = make_mesh(dp=8, tp=1)
-    _, metrics = _run_steps(_cfg(teacher_int8=True), mesh, n_steps=1)
+    _, metrics = _run_steps(
+        _cfg(teacher_int8=True, teacher_int8_min_size=0), mesh, n_steps=1
+    )
     assert np.isfinite(float(metrics["overall_loss"]))
+
+    # the per-scale gate: min_size above every TTA scale = the quant twin is
+    # never selected, so the step must match the plain-teacher step exactly
+    # (same batch for both runs; _batch draws from a stateful RNG)
+    losses = {}
+    for key, kw in (
+        ("gated", dict(teacher_int8=True, teacher_int8_min_size=10**6)),
+        ("plain", dict(teacher_int8=False)),
+    ):
+        c = _cfg(**kw)
+        m = build_model(c)
+        st = create_train_state(c, m, 8)
+        st = jax.device_put(st, state_sharding(st, mesh))
+        jstep = jax.jit(build_train_step(c, m, build_optimizer(c, st.student)))
+        b = jax.device_put(
+            jax.tree.map(np.copy, _fixed_batch(c, 8)), batch_sharding(mesh)
+        )
+        _, mt = jstep(st, b)
+        losses[key] = float(mt["overall_loss"])
+    assert losses["gated"] == losses["plain"], losses
