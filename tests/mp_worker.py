@@ -57,6 +57,22 @@ def main() -> None:
     )
     results = train(cfg)
 
+    # checkpoint RESUME under multi-process (untested in r2): every process
+    # restores the sharded full state collectively (orbax) and the driver
+    # fast-forwards the loader + step counter, continuing 2 more steps. This
+    # is the multihost analogue of tests/test_loop.py's single-process leg.
+    import dataclasses
+
+    run_dir = os.path.join(out_dir, "mp")
+    cfg2 = dataclasses.replace(
+        cfg, name="mp_resumed", max_iters=4,
+        resume=os.path.join(run_dir, "ckpt"),
+    )
+    results2 = train(cfg2)
+    with open(os.path.join(out_dir, "mp_resumed", "metrics.jsonl")) as f:
+        assert '"iter": 4' in f.read(), "resumed run never reached step 4"
+    print(f"MP_RESUME_OK pid={pid} best_seg={results2['best_seg']:.4f}")
+
     # multi-host SPMD eval parity (VERDICT r2 item 5): the global-SPMD path
     # (every local chip computes a slice of one global batch) must score
     # identically to the per-process private loop + allgather reduction.

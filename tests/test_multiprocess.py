@@ -53,6 +53,7 @@ def test_two_process_train_and_eval(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
         assert f"MP_OK pid={pid}" in out, out[-2000:]
+        assert f"MP_RESUME_OK pid={pid}" in out, out[-2000:]
 
     # both ranks computed identical (allgather-reduced) best metrics
     import re
