@@ -168,7 +168,14 @@ class Config:
     # fc1/fc2) as dynamic int8 matmuls (models/quant.py). The teacher is
     # no-grad and its CAMs feed min-max normalization + fixed thresholds, so
     # the precision tolerance is high; weights re-quantize from the f32 EMA
-    # inside the jit each step. Default off pending accuracy validation.
+    # inside the jit each step. Default OFF: measured full-step A/B on v5e
+    # (VOC flagship, batch 4) shows no end-to-end win — bf16 0.0832 s/iter,
+    # int8-all-scales 0.0826 (-0.7%, noise), int8-gated-672-only 0.0893
+    # (SLOWER: the per-step weight requantize + per-scale model switch cost
+    # more than the one scale's matmul saving). The microbench win at 672^2
+    # (see teacher_int8_min_size) does not survive in the full step, where
+    # teacher matmuls overlap other work. Kept as an opt-in for future
+    # shapes/hardware where the balance differs.
     teacher_int8: bool = False
     # int8 pays off only when the matmuls are big enough to amortize the
     # VPU quantize/dequantize at the boundaries: measured on v5e (fc1-shaped
