@@ -34,6 +34,16 @@ contribute nothing backward). When the ViT encoder pre-pads its token axis
 (models/vit.py), ``n_valid`` carries the true count and no pad copies are
 made here at all.
 
+Tried and REJECTED (r3): two softmax-floor variants, measured by
+scripts/microbench_softmax.py at (B=8, H=12, D=64) bf16: (a) bf16 exp2 —
+evaluating exp2 on a bf16 (BQ, N) tile with an f32-accumulating dot for
+the row sum: 2.49 vs 1.52 ms at N=785, -2% (noise) at N=1765 — the VPU
+evaluates transcendentals at f32 rate, so halving element width buys
+nothing and adds casts; (b) dropping the rowmax subtraction for a fixed
+shift: SLOWER at both shapes (2.53/3.55 ms) — the max pass is free
+relative to the wider-dynamic-range exp2 it enables. The f32 one-shot
+softmax below is the measured floor.
+
 Tried and REJECTED (r2): a packed-qkv variant whose BlockSpecs index
 head-strips of the raw (B, N, 3C) projection in place (to kill the ~5 ms
 of fold transposes/slices/bias adds around this kernel). Mosaic requires
