@@ -98,6 +98,68 @@ def _dense_energy_bwd(filter_kind, rff_features, rff_seed, half, convention,
 _dense_energy.defvjp(_dense_energy_fwd, _dense_energy_bwd)
 
 
+# ---- exact-lattice path with a PRECOMPUTED structure --------------------
+# The lattice structure (sort/unique/neighbor tables) depends only on the
+# stop-gradient image features, so it is built in its OWN compiled program
+# (build_energy_lattice below, called by the train loop once per batch) and
+# fed to the step as plain arrays; inside the step the filter is then pure
+# segment_sum + gathers (ops/permutohedral.apply_lattice), which embeds in
+# the train jit without the round-1/2 compile blowup. Same custom gradient
+# convention (-2*AS/N) as the reference (seg_helper.py:898-903).
+
+
+def _apply_lat_batch(seg_roi, uid, bary, nbr_idx, nbr_ok):
+    from cosa_tpu.ops.permutohedral import Lattice, apply_lattice
+
+    b, h, w, k = seg_roi.shape
+    v = seg_roi.reshape(b, h * w, k)
+    out = jax.vmap(
+        lambda u, ba, ni, no, vv: apply_lattice(Lattice(u, ba, ni, no), vv)
+    )(uid, bary, nbr_idx, nbr_ok, v)
+    return out.reshape(b, h, w, k)
+
+
+@jax.custom_vjp
+def _dense_energy_lat(seg_roi, uid, bary, nbr_idx, nbr_ok, gate):
+    as_gated = _apply_lat_batch(seg_roi, uid, bary, nbr_idx, nbr_ok) * gate
+    return -jnp.vdot(seg_roi, as_gated) / seg_roi.shape[0]
+
+
+def _dense_energy_lat_fwd(seg_roi, uid, bary, nbr_idx, nbr_ok, gate):
+    as_gated = _apply_lat_batch(seg_roi, uid, bary, nbr_idx, nbr_ok) * gate
+    n = seg_roi.shape[0]
+    return -jnp.vdot(seg_roi, as_gated) / n, (as_gated, n)
+
+
+def _dense_energy_lat_bwd(res, g):
+    as_gated, n = res
+    return (-2.0 * g * as_gated / n, None, None, None, None, None)
+
+
+_dense_energy_lat.defvjp(_dense_energy_lat_fwd, _dense_energy_lat_bwd)
+
+
+def build_energy_lattice(cfg, simg_u8):
+    """Per-batch lattice structure for the train step's exact dense-energy
+    filter. Reproduces get_energy_loss's feature path exactly (normalize ->
+    denormalize_u8 -> nearest downscale -> pixel_features with sigma_xy
+    scaled by energy_scale); jit this standalone and pass the result into
+    the step via the batch dict (train/loop.py)."""
+    from cosa_tpu.ops.image import normalize
+    from cosa_tpu.ops.permutohedral import build_lattice
+
+    simg = normalize(simg_u8)
+    img255 = denormalize_u8(simg)
+    b, h, w = img255.shape[0], img255.shape[1], img255.shape[2]
+    sh, sw = int(h * cfg.energy_scale), int(w * cfg.energy_scale)
+    s_img = resize_nearest(img255, (sh, sw))
+    feats = pixel_features(
+        s_img, cfg.energy_sigma_rgb, cfg.energy_sigma_xy * cfg.energy_scale
+    )
+    lat = jax.vmap(build_lattice)(feats.reshape(b, sh * sw, 5))
+    return lat._asdict()
+
+
 def get_energy_loss(
     img: jnp.ndarray,
     seg_logits: jnp.ndarray,
@@ -113,9 +175,14 @@ def get_energy_loss(
     ignore_index: int = 255,
     half: bool = False,
     convention: float = 1.0,
+    lattice=None,
 ) -> jnp.ndarray:
     """img: normalized NHWC; seg_logits: (B, H, W, C) at label resolution;
-    label: (B, H, W) pseudo mask; img_box: (B, 4)."""
+    label: (B, H, W) pseudo mask; img_box: (B, 4).
+
+    With ``filter_kind="lattice"`` and a precomputed ``lattice`` dict (from
+    build_energy_lattice), the exact reference filter runs with no surrogate
+    and no convention rescale."""
     b, h, w, _ = img.shape
     probs = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
     rois = box_mask(img_box, h, w).astype(jnp.float32)
@@ -133,9 +200,15 @@ def get_energy_loss(
     gate = jnp.where(unlabeled, 1.0, gate)[..., None]
 
     seg_roi = s_probs * s_rois[..., None]
+    gate = jax.lax.stop_gradient(gate)
+    if filter_kind == "lattice" and lattice is not None:
+        loss = _dense_energy_lat(
+            seg_roi, lattice["uid"], lattice["bary"], lattice["nbr_idx"],
+            lattice["nbr_ok"], gate,
+        )
+        return weight * loss
     feats = pixel_features(s_img, sigma_rgb, sigma_xy * scale_factor)
     feats = jax.lax.stop_gradient(feats)
-    gate = jax.lax.stop_gradient(gate)
     loss = _dense_energy(seg_roi, feats, gate, filter_kind, rff_features,
                          rff_seed, half, float(convention))
     return weight * loss

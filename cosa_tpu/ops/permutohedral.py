@@ -26,12 +26,25 @@ Permutohedral Lattice", Eurographics 2010) on XLA primitives:
 
 Everything is static-shape (the lattice is padded to N*(d+1) sites) and runs
 inside jit on TPU — pseudo-label filtering never touches the host.
+
+The filter is split into two stages so the expensive-to-compile structure
+build (sort + unique + 12 batched binary searches) can live in its OWN
+compiled program while the value filtering stays a pure gather/segment_sum
+pipeline that embeds cheaply inside large jits (e.g. the train step):
+
+  build_lattice(features) -> Lattice   sort/unique/neighbor tables; depends
+                                       only on the (stop-gradient) features
+  apply_lattice(lat, values)           splat -> d+1 blur passes -> slice;
+                                       linear in values, all precomputed
+                                       indices — no sort, no search
+
+``permutohedral_filter`` composes the two and keeps the original API.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,24 +142,23 @@ def _searchsorted3(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarra
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("with_norm", "gain"))
-def permutohedral_filter(
-    features: jnp.ndarray,
-    values: jnp.ndarray,
-    with_norm: bool = False,
-    gain: float = 1.0,
-) -> jnp.ndarray:
-    """Gaussian transform via the lattice. features: (N, d); values: (N, K).
+class Lattice(NamedTuple):
+    """Precomputed lattice structure (everything data-dependent that is NOT a
+    function of the filtered values). All shapes static in n and d."""
 
-    Returns ~ gain * G @ values. With ``with_norm`` an all-ones channel is
-    appended and the output divided by it (the normalized transform used by
-    DenseCRF-style inference; the gain then cancels).
-    """
+    uid: jnp.ndarray      # (n*(d+1),) int32 — lattice row per (point, vertex)
+    bary: jnp.ndarray     # (n, d+1) f32 — barycentric splat/slice weights
+    nbr_idx: jnp.ndarray  # (d+1, 2, m) int32 — blur neighbor row (clipped)
+    nbr_ok: jnp.ndarray   # (d+1, 2, m) bool — neighbor actually exists
+
+
+def build_lattice(features: jnp.ndarray) -> Lattice:
+    """Stage 1: lattice structure from (N, d) features.
+
+    Contains every compile-hostile op (variadic sort, unique, batched binary
+    search); compile it standalone, not inside a large program."""
     n, d = features.shape
     dp1 = d + 1
-    if with_norm:
-        values = jnp.concatenate([values, jnp.ones((n, 1), values.dtype)], axis=1)
-    k = values.shape[1]
 
     elevated = _elevate(features)
     rem0, rank, bary = _simplex(elevated)
@@ -182,37 +194,80 @@ def permutohedral_filter(
         flat_keys[sort_idx]
     )
 
+    # all 2*(d+1) blur-neighbor key sets resolved by ONE batched binary
+    # search (fewer op instances than 12 separate searches)
+    deltas = np.ones((dp1, d), np.int32)
+    for a in range(d):
+        deltas[a, a] -= dp1
+    deltas = jnp.asarray(deltas)  # (dp1, d); row d is all-ones
+    nk = jnp.stack(
+        [
+            unique_keys[None, :, :] + deltas[:, None, :],
+            unique_keys[None, :, :] - deltas[:, None, :],
+        ],
+        axis=1,
+    )  # (dp1, 2, m, d)
+    npacked = _pack3(nk.reshape(dp1 * 2 * m, d))
+    pos = _searchsorted3(unique_packed, npacked)
+    posc = jnp.clip(pos, 0, m - 1)
+    found = jnp.all(unique_packed[posc] == npacked, axis=1)
+    return Lattice(
+        uid=uid,
+        bary=bary,
+        nbr_idx=posc.reshape(dp1, 2, m),
+        nbr_ok=found.reshape(dp1, 2, m),
+    )
+
+
+def apply_lattice(
+    lat: Lattice,
+    values: jnp.ndarray,
+    with_norm: bool = False,
+    gain: float = 1.0,
+) -> jnp.ndarray:
+    """Stage 2: splat -> (d+1)-axis blur -> slice with precomputed indices.
+    Pure segment_sum + gathers — embeds cheaply inside large jits. Linear in
+    ``values``; bit-identical to the fused filter."""
+    n, dp1 = lat.bary.shape
+    m = n * dp1
+    if with_norm:
+        values = jnp.concatenate([values, jnp.ones((n, 1), values.dtype)], axis=1)
+    k = values.shape[1]
+
     # ---- splat ----
-    w = bary.reshape(n * dp1, 1)
+    w = lat.bary.reshape(m, 1)
     vals = jnp.repeat(values, dp1, axis=0)
-    lattice = jax.ops.segment_sum(vals * w, uid, num_segments=m)
+    lattice = jax.ops.segment_sum(vals * w, lat.uid, num_segments=m)
 
     # ---- blur along each lattice direction ----
-    def neighbor(offset_sign: int, axis: int):
-        delta = np.ones((d,), np.int32)
-        if axis < d:
-            delta = delta.copy()
-            delta[axis] -= dp1
-        nk = unique_keys + offset_sign * jnp.asarray(delta)
-        npacked = _pack3(nk)
-        pos = _searchsorted3(unique_packed, npacked)
-        posc = jnp.clip(pos, 0, m - 1)
-        found = jnp.all(unique_packed[posc] == npacked, axis=1)
-        return posc, found
-
     for a in range(dp1):
-        i1, f1 = neighbor(+1, a)
-        i2, f2 = neighbor(-1, a)
-        v1 = jnp.where(f1[:, None], lattice[i1], 0.0)
-        v2 = jnp.where(f2[:, None], lattice[i2], 0.0)
+        v1 = jnp.where(lat.nbr_ok[a, 0][:, None], lattice[lat.nbr_idx[a, 0]], 0.0)
+        v2 = jnp.where(lat.nbr_ok[a, 1][:, None], lattice[lat.nbr_idx[a, 1]], 0.0)
         lattice = lattice + 0.5 * (v1 + v2)
 
     # ---- slice ----
+    d = dp1 - 1
     alpha = 1.0 / (1.0 + 2.0 ** (-d))
-    gathered = lattice[uid].reshape(n, dp1, k)
-    out = jnp.einsum("nrk,nr->nk", gathered, bary) * (alpha * gain)
+    gathered = lattice[lat.uid].reshape(n, dp1, k)
+    out = jnp.einsum("nrk,nr->nk", gathered, lat.bary) * (alpha * gain)
 
     if with_norm:
         norm = out[:, -1:]
         out = out[:, :-1] / jnp.clip(norm, 1e-20, None)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("with_norm", "gain"))
+def permutohedral_filter(
+    features: jnp.ndarray,
+    values: jnp.ndarray,
+    with_norm: bool = False,
+    gain: float = 1.0,
+) -> jnp.ndarray:
+    """Gaussian transform via the lattice. features: (N, d); values: (N, K).
+
+    Returns ~ gain * G @ values. With ``with_norm`` an all-ones channel is
+    appended and the output divided by it (the normalized transform used by
+    DenseCRF-style inference; the gain then cancels).
+    """
+    return apply_lattice(build_lattice(features), values, with_norm, gain)

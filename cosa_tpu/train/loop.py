@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -113,11 +114,23 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     # failure containment: the reference loses everything but best weights on
     # a mid-run crash (SURVEY.md §5.3); here any exception flushes a full
     # resumable checkpoint before propagating.
+    # exact-lattice dense energy: the structure build (sort/unique/binary
+    # search) compiles pathologically INSIDE the train program, so it runs
+    # as its own per-batch jit whose outputs feed the step as plain arrays
+    # (objectives/energy.py::build_energy_lattice)
+    lat_fn = None
+    if cfg.energy_filter == "lattice":
+        from cosa_tpu.objectives.energy import build_energy_lattice
+
+        def lat_fn(batch, _f=jax.jit(partial(build_energy_lattice, cfg))):
+            b = batch["imgs"].shape[0] // 2
+            return _f(batch["imgs"][b:])
+
     try:
         _train_body(
             cfg, model, state, step_fn, loader, val_ds, bshard, writer,
             out_dir, ckpt_dir, meter, pending, start_step, total, t0,
-            results_box := {}, mesh,
+            results_box := {}, mesh, lat_fn,
         )
     except BaseException:
         try:
@@ -150,7 +163,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
 
 def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
                 out_dir, ckpt_dir, meter, pending, start_step, total, t0,
-                box, mesh=None):
+                box, mesh=None, lat_fn=None):
     best_seg, best_cam = -1.0, -1.0
     results = {}
     global_batch = cfg.batch_size * (jax.device_count() // max(cfg.tp, 1))
@@ -176,6 +189,8 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
     for n_iter in range(start_step, total):
         local_batch = next(loader)
         batch = put(local_batch)
+        if lat_fn is not None:
+            batch["energy_lattice"] = lat_fn(batch)
         state, metrics = step_fn(state, batch)
         pending.append(metrics)
         box.update(state=state, iter=n_iter + 1)

@@ -228,6 +228,10 @@ def build_train_step(
                 ignore_index=cfg.ignore_index,
                 half=cfg.mixed_precision,
                 convention=energy_convention,
+                # exact-lattice path: structure precomputed per batch in its
+                # own program (objectives/energy.build_energy_lattice) so the
+                # step jit only sees gathers/segment_sums
+                lattice=batch.get("energy_lattice"),
             )
 
             cl = camloss_fn(out["cam"], valid_seg_ps)

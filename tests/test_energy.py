@@ -217,3 +217,80 @@ def test_get_energy_loss_pipeline():
     g = jax.grad(loss_fn)(logits)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_precomputed_lattice_energy_matches_inline_on_shared_features():
+    """Given the SAME feature arrays, the precomputed-structure energy
+    (_dense_energy_lat, the train-step path) must match the inline lattice
+    energy (_dense_energy with filter_kind='lattice') to float32 precision —
+    loss value and the -2*AS/N custom gradient."""
+    from cosa_tpu.objectives.energy import _dense_energy_lat
+    from cosa_tpu.ops.permutohedral import build_lattice
+
+    img = jnp.asarray(_natural_image(16, 16))
+    feats = pixel_features(img, 15.0, 50.0)
+    seg_roi = jnp.asarray(RNG.random((1, 16, 16, 5)), jnp.float32)
+    gate = jnp.asarray(RNG.random((1, 16, 16, 1)), jnp.float32)
+
+    lat = jax.vmap(build_lattice)(feats.reshape(1, -1, 5))
+
+    def loss_pre(s):
+        return _dense_energy_lat(
+            s, lat.uid, lat.bary, lat.nbr_idx, lat.nbr_ok, gate
+        )
+
+    def loss_inline(s):
+        return _dense_energy(s, feats, gate, "lattice", 0, 0, False, 1.0)
+
+    l_pre, g_pre = jax.value_and_grad(loss_pre)(seg_roi)
+    l_in, g_in = jax.value_and_grad(loss_inline)(seg_roi)
+    np.testing.assert_allclose(float(l_pre), float(l_in), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_pre), np.asarray(g_in), rtol=1e-4, atol=1e-6
+    )
+    assert float(jnp.abs(g_pre).sum()) > 0
+
+
+def test_precomputed_lattice_energy_end_to_end():
+    """Full train wiring: build_energy_lattice in its own jit feeding
+    get_energy_loss(filter_kind='lattice'). The structure program computes
+    the image features independently of the loss program, and ULP-level
+    feature drift between two compiled programs can flip the enclosing
+    simplex of boundary points — so this end-to-end check is
+    tolerance-based (exactness on shared features is asserted above and in
+    tests/test_permutohedral.py::test_two_stage_matches_fused_filter)."""
+    from cosa_tpu.config import Config
+    from cosa_tpu.objectives.energy import build_energy_lattice
+    from cosa_tpu.ops.image import normalize
+
+    cfg = Config(crop_size=32, num_classes=6, backbone="vit_tiny_test",
+                 energy_filter="lattice")
+    b, h, w, c = 2, 32, 32, 6
+    rng = np.random.default_rng(7)  # order-independent inputs
+    simg_u8 = (rng.random((b, h, w, 3)) * 255).astype(np.uint8)
+    img = normalize(jnp.asarray(simg_u8))
+    logits = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    label = jnp.asarray(
+        rng.integers(0, c, size=(b, h, w)), jnp.int32
+    ).at[:, :4].set(255)
+    box = jnp.asarray([[0, 32, 0, 32], [4, 28, 4, 28]], jnp.int32)
+
+    lat = jax.jit(lambda x: build_energy_lattice(cfg, x))(jnp.asarray(simg_u8))
+
+    def loss(lg, lattice):
+        return get_energy_loss(
+            img, lg, label, box, weight=1.0,
+            scale_factor=cfg.energy_scale,
+            sigma_rgb=cfg.energy_sigma_rgb, sigma_xy=cfg.energy_sigma_xy,
+            filter_kind="lattice", lattice=lattice,
+        )
+
+    l_pre, g_pre = jax.value_and_grad(loss)(logits, lat)
+    l_in, g_in = jax.value_and_grad(loss)(logits, None)
+    np.testing.assert_allclose(float(l_pre), float(l_in), rtol=2e-3)
+    cos = float(
+        jnp.vdot(g_pre, g_in)
+        / (jnp.linalg.norm(g_pre) * jnp.linalg.norm(g_in))
+    )
+    assert cos > 0.995, cos
+    assert float(jnp.abs(g_pre).sum()) > 0

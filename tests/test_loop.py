@@ -124,3 +124,31 @@ def test_turnon_rawcam_dumps(tmp_path):
     assert files, "no rawcam dumps written"
     cam = np.load(os.path.join(d, files[0]), allow_pickle=True).item()
     assert all(v.ndim == 2 for v in cam.values())  # per-class 2-D CAM maps
+
+
+def test_training_run_with_exact_lattice_energy(tmp_path):
+    """energy_filter='lattice' on the training path: the loop precomputes
+    the lattice structure per batch in its own program
+    (objectives/energy.build_energy_lattice) and the step applies the exact
+    filter — no surrogate, no convention rescale (VERDICT r2 #2, option b;
+    reference utils/seg_helper.py:864-903)."""
+    from cosa_tpu.train.loop import train
+
+    cfg = _cfg(
+        tmp_path / "latrun",
+        energy_filter="lattice",
+        max_iters=4,
+        eval_iters=100,  # no validation; this tests the train path
+    )
+    results = train(cfg)
+    import json
+
+    lines = [
+        json.loads(l)
+        for l in open(str(tmp_path / "latrun" / "metrics.jsonl"))
+        if '"iter"' in l
+    ]
+    regs = [r["reg_loss"] for r in lines if "reg_loss" in r]
+    assert regs and all(np.isfinite(r) for r in regs)
+    # the dense energy -<seg, AS> is strictly negative on any real batch
+    assert all(r < 0 for r in regs), regs

@@ -10,6 +10,7 @@ exact Gaussian transform."""
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cosa_tpu.ops.bilateral import exact_gaussian_filter, pixel_features
@@ -65,3 +66,37 @@ def test_normalized_filter_for_crf():
     )
     rel = np.linalg.norm(latn - exn) / np.linalg.norm(exn)
     assert rel < 0.1, rel
+
+
+def test_two_stage_matches_fused_filter():
+    """build_lattice + apply_lattice (the train-step split: structure in its
+    own program, filtering inside the step) must equal the fused filter on
+    identical features. The integer structure (site ids, neighbor tables)
+    must match EXACTLY across eager and jitted builds; the float output is
+    compared to f32 precision (XLA fuses the splat/blur/slice reductions
+    differently across programs)."""
+    from cosa_tpu.ops.permutohedral import apply_lattice, build_lattice
+
+    g = np.load(GOLDEN)
+    img = g["img"]
+    vals = jnp.asarray(np.moveaxis(g["vals"], 0, -1).reshape(-1, 21))
+    srgb, sxy = g["sig_energy"]
+    feats = pixel_features(jnp.asarray(img[None]), float(srgb), float(sxy))
+    f = feats.reshape(-1, 5)
+    fused = np.asarray(permutohedral_filter(f, vals))
+    lat_eager = build_lattice(f)
+    lat_jit = jax.jit(build_lattice)(f)
+    # integer structure (site ids, neighbor tables) is exact across
+    # programs; the float barycentric weights carry compiled-vs-eager drift
+    np.testing.assert_array_equal(np.asarray(lat_eager.uid), np.asarray(lat_jit.uid))
+    np.testing.assert_array_equal(
+        np.asarray(lat_eager.nbr_idx), np.asarray(lat_jit.nbr_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lat_eager.nbr_ok), np.asarray(lat_jit.nbr_ok)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_eager.bary), np.asarray(lat_jit.bary), atol=1e-5
+    )
+    two = np.asarray(apply_lattice(lat_eager, vals))
+    np.testing.assert_allclose(two, fused, rtol=1e-4, atol=1e-5)
