@@ -122,10 +122,15 @@ def _crf_core(
     feats = jnp.concatenate([feats, img_r / bi_rgb], axis=-1).reshape(rp * rp, 5)
 
     if reduce == 1 and use_lattice:
-        from cosa_tpu.ops.permutohedral import permutohedral_filter
+        from cosa_tpu.ops.permutohedral import apply_lattice, build_lattice
+
+        # features are fixed across mean-field iterations: build the lattice
+        # structure ONCE and re-apply it per message (2 filters/iteration),
+        # keeping the compile-hostile sort/search out of the iteration body
+        lat = build_lattice(feats)
 
         def bilateral_full(qmap):  # (P, P, C or 1), full-res lattice
-            out = permutohedral_filter(feats, qmap.reshape(p * p, -1))
+            out = apply_lattice(lat, qmap.reshape(p * p, -1))
             return out.reshape(p, p, -1)
 
     else:
