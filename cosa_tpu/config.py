@@ -131,7 +131,7 @@ class Config:
     energy_sigma_rgb: float = 15.0
     energy_sigma_xy: float = 100.0
     energy_scale: float = 0.5
-    energy_filter: str = "rff"  # rff | exact (test-only)
+    energy_filter: str = "rff"  # rff (fast default) | lattice (exact, trains) | exact (fused, test-only)
     energy_rff_features: int = 1024
     # rff->lattice energy rescale. 0.0 = auto-calibrate at train start on the
     # first real batch at the actual energy resolution (the ratio is
