@@ -4,27 +4,41 @@ Measures the FULL compiled CoSA training iteration — teacher 3-scale+flip
 TTA, student forward/backward, CAM->mask pseudo-labeling, dense-energy
 regularizer, PolyWarmupAdamW update, EMA teacher — at the reference's
 training configurations:
-  * COCO: ViT-B/16, 448^2 crop, 81 classes, global batch 8
-    (baseline 2.54 s/iter on 2x RTX 3090 => 3.14 img/s,
-    assets/logs/coco_log.txt:85)
   * VOC:  ViT-B/16, 448^2 crop, 21 classes, global batch 4
     (baseline 0.92 s/iter on 2x RTX 3090 => 4.35 img/s,
     assets/logs/voc_log.txt:88; BASELINE.md / SURVEY.md §6)
+  * COCO: ViT-B/16, 448^2 crop, 81 classes, global batch 8
+    (baseline 2.54 s/iter on 2x RTX 3090 => 3.14 img/s,
+    assets/logs/coco_log.txt:85)
 
-Prints one JSON line per config; the VOC headline metric is printed LAST:
-  {"metric": "voc_train_imgs_per_sec", "value": N, "unit": "img/s",
-   "vs_baseline": N/4.35, ...}
+Prints one JSON line per measurement; the VOC headline line is ALWAYS the
+final line (the driver records the last JSON line), re-printed after the
+optional COCO line.
+
+Wall-clock discipline (the round-3 driver run hit its harness timeout —
+BENCH_r03.json rc=124 — because two cold full-step compiles over the axon
+relay total ~12 min): compiled executables persist in a compilation cache
+(COSA_XLA_CACHE_DIR, default /tmp/cosa_xla_cache), making warm reruns fast,
+and the COCO config only runs if the remaining COSA_BENCH_BUDGET_S (default
+520 s) fits a conservative projection from the measured VOC wall time; a
+skip is reported as a JSON line with "skipped": true.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 VOC_BASELINE_IMGS_PER_SEC = 4.35  # 2x3090, global batch 4, 0.92 s/iter
 COCO_BASELINE_IMGS_PER_SEC = 3.14  # 2x3090, global batch 8, 2.54 s/iter
+
+# conservative projection of the COCO config's wall time from the measured
+# VOC wall time (COCO compiles the larger 81-class batch-8 program; the two
+# cold compiles together measured ~12 min over the relay)
+COCO_OVER_VOC = 1.5
 
 
 def _bench_config(cfg, global_batch: int):
@@ -76,19 +90,25 @@ def _bench_config(cfg, global_batch: int):
     return dt
 
 
+def _emit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
+
+
 def main() -> None:
     import jax
 
+    cache_dir = os.environ.get("COSA_XLA_CACHE_DIR", "/tmp/cosa_xla_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from cosa_tpu.config import coco_config, voc_config
 
+    budget = float(os.environ.get("COSA_BENCH_BUDGET_S", "520"))
+    t_start = time.perf_counter()
     n_dev = jax.device_count()
 
-    # COCO first; the headline VOC line stays last (the driver parses the
-    # final JSON line).
-    for name, make_cfg, global_batch, baseline in (
-        ("coco", coco_config, 8, COCO_BASELINE_IMGS_PER_SEC),
-        ("voc", voc_config, 4, VOC_BASELINE_IMGS_PER_SEC),
-    ):
+    def run(name, make_cfg, global_batch, baseline):
         per_dev = max(global_batch // n_dev, 1)
         gb = per_dev * n_dev
         cfg = make_cfg(
@@ -97,21 +117,39 @@ def main() -> None:
         )
         dt = _bench_config(cfg, gb)
         imgs_per_sec = gb / dt
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_train_imgs_per_sec",
-                    "value": round(imgs_per_sec, 3),
-                    "unit": "img/s",
-                    "vs_baseline": round(imgs_per_sec / baseline, 3),
-                    "sec_per_iter": round(dt, 4),
-                    "global_batch": gb,
-                    "n_devices": n_dev,
-                    "backend": jax.default_backend(),
-                }
-            ),
-            flush=True,
+        return {
+            "metric": f"{name}_train_imgs_per_sec",
+            "value": round(imgs_per_sec, 3),
+            "unit": "img/s",
+            "vs_baseline": round(imgs_per_sec / baseline, 3),
+            "sec_per_iter": round(dt, 4),
+            "global_batch": gb,
+            "n_devices": n_dev,
+            "backend": jax.default_backend(),
+        }
+
+    voc_line = run("voc", voc_config, 4, VOC_BASELINE_IMGS_PER_SEC)
+    _emit(voc_line)  # headline out early, before any risk of a timeout
+
+    voc_elapsed = time.perf_counter() - t_start
+    remaining = budget - voc_elapsed
+    if remaining > COCO_OVER_VOC * voc_elapsed + 20:
+        _emit(run("coco", coco_config, 8, COCO_BASELINE_IMGS_PER_SEC))
+    else:
+        _emit(
+            {
+                "metric": "coco_train_imgs_per_sec",
+                "skipped": True,
+                "reason": (
+                    f"budget: {remaining:.0f}s left of {budget:.0f}s after "
+                    f"VOC took {voc_elapsed:.0f}s (cold compile; warm cache "
+                    "reruns fit — see BENCH history / STATUS for the "
+                    "measured COCO number)"
+                ),
+            }
         )
+
+    _emit(voc_line)  # the driver records the LAST JSON line = VOC headline
 
 
 if __name__ == "__main__":

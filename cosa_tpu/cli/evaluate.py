@@ -11,9 +11,13 @@ from __future__ import annotations
 
 
 def main(argv=None) -> None:
+    import jax
+
+    from cosa_tpu.cli.train import _maybe_enable_compile_cache
     from cosa_tpu.config import parse_cli
     from cosa_tpu.train.loop import finaleval
 
+    _maybe_enable_compile_cache(jax)
     cfg = parse_cli(argv)
     finaleval(cfg)
 

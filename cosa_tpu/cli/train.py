@@ -14,9 +14,20 @@ from __future__ import annotations
 import os
 
 
+def _maybe_enable_compile_cache(jax) -> None:
+    """Opt-in persistent compilation cache (COSA_XLA_CACHE_DIR): repeated
+    launches of the same config skip the multi-minute XLA compile. Off by
+    default — XLA:CPU AOT reloads can warn/SIGILL across host types."""
+    cache = os.environ.get("COSA_XLA_CACHE_DIR")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main(argv=None) -> None:
     import jax
 
+    _maybe_enable_compile_cache(jax)
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 

@@ -32,6 +32,10 @@ class Config:
     # reference: args.py:15-24
     finalval: bool = True
     seed: int = 0
+    # draw a fresh seed at train start (reference main.py:33). Resolved in
+    # train/loop.py via a one-to-all broadcast so every process agrees (the
+    # reference's per-rank random.randint would desync a pure-SPMD init).
+    random_seed: bool = False
     work_dir: str = "work_dirs"
     name: str = "cosa"
     output_dir: str = ""

@@ -210,6 +210,18 @@ def pack_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return dict(imgs=imgs, meta=meta)
 
 
+def simg_from_packed(batch):
+    """Strong-crop slice of a (possibly packed) batch. Single source of
+    truth for pack_batch's stacking order (strong = second half), shared
+    by unpack_batch and callers that need just the strong crops (the train
+    loop's per-batch energy-lattice builder) without paying the full
+    unpack's eager slices."""
+    if "imgs" not in batch:
+        return batch["simg"]
+    imgs = batch["imgs"]
+    return imgs[imgs.shape[0] // 2:]
+
+
 def unpack_batch(batch):
     """Inverse of pack_batch, on device (jnp views). Accepts unpacked
     dicts unchanged."""
@@ -218,7 +230,8 @@ def unpack_batch(batch):
     imgs = batch["imgs"]
     b = imgs.shape[0] // 2
     meta = batch["meta"]
-    return (imgs[:b], imgs[b:], meta[:, :-4], meta[:, -4:].astype("int32"))
+    return (imgs[:b], simg_from_packed(batch), meta[:, :-4],
+            meta[:, -4:].astype("int32"))
 
 
 def build_train_loader(cfg, per_process_batch: int, num_workers: Optional[int] = None,

@@ -50,6 +50,17 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     writer = MetricWriter(out_dir)
     writer.print(f"config diff vs {cfg.dataset} preset:", diff_from_preset(cfg))
 
+    if cfg.random_seed:
+        import random as _random
+
+        from jax.experimental import multihost_utils
+
+        s = multihost_utils.broadcast_one_to_all(
+            np.int32(_random.randint(1, 10000))
+        )
+        cfg = cfg.replace(seed=int(s), random_seed=False)
+        writer.print(f"random_seed: drew seed {cfg.seed}")
+
     mesh = make_mesh(cfg.dp, cfg.tp)
     writer.print(
         f"mesh: data={mesh.shape['data']} model={mesh.shape['model']} "
@@ -122,9 +133,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
     if cfg.energy_filter == "lattice":
         from cosa_tpu.objectives.energy import build_energy_lattice
 
+        from cosa_tpu.data.loader import simg_from_packed
+
         def lat_fn(batch, _f=jax.jit(partial(build_energy_lattice, cfg))):
-            b = batch["imgs"].shape[0] // 2
-            return _f(batch["imgs"][b:])
+            return _f(simg_from_packed(batch))
 
     try:
         _train_body(

@@ -103,6 +103,16 @@ def build_train_step(
         from cosa_tpu.data.loader import unpack_batch
 
         wimg_u8, simg_u8, cls_label, img_box = unpack_batch(batch)
+        if cfg.energy_filter == "lattice" and "energy_lattice" not in batch:
+            # fail at trace time: the permissive get_energy_loss fallback
+            # would silently re-inline the compile-hostile lattice build
+            # (sort/unique/search) into this jit — the round-1/2 compile
+            # blowup. Build the tables per batch with
+            # objectives/energy.build_energy_lattice (train/loop.py lat_fn).
+            raise ValueError(
+                "energy_filter='lattice' requires batch['energy_lattice'] "
+                "tables on the train path (see build_energy_lattice)"
+            )
         # teacher input stored bf16 under mixed precision (same values the
         # model's patch-embed cast would produce; see ops/image.normalize);
         # simg stays f32 — it also feeds the energy features and PAR.

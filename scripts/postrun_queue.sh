@@ -15,6 +15,6 @@ echo "=== bench.py (headline VOC + COCO lines) ==="
 timeout 2400 python bench.py 2>/tmp/bench_r3.err | tee /tmp/bench_r3.json
 
 echo "=== TPU-gated kernel parity tests ==="
-COSA_TEST_PLATFORM=axon timeout 1800 python -m pytest tests/test_tpu_kernels.py -q 2>&1 | tail -5 | tee /tmp/tpu_tests.log
+COSA_TEST_PLATFORM=axon timeout 1800 python -m pytest tests/test_tpu_kernels.py -q 2>&1 | tee /tmp/tpu_tests.log | tail -5
 
 echo "=== queue done ==="

@@ -152,3 +152,14 @@ def test_training_run_with_exact_lattice_energy(tmp_path):
     assert regs and all(np.isfinite(r) for r in regs)
     # the dense energy -<seg, AS> is strictly negative on any real batch
     assert all(r < 0 for r in regs), regs
+
+
+def test_random_seed_resolves_and_echoes(tmp_path):
+    """--random_seed true draws a fresh seed at train start (reference
+    main.py:33) via a one-to-all broadcast and echoes it."""
+    from cosa_tpu.train.loop import train
+
+    cfg = _cfg(tmp_path / "rs", random_seed=True, max_iters=1, eval_iters=100)
+    train(cfg, max_steps=1)
+    out = open(os.path.join(str(tmp_path / "rs"), "print.out")).read()
+    assert "random_seed: drew seed" in out

@@ -236,3 +236,37 @@ def test_int8_teacher_close_and_step_runs():
         _, mt = jstep(st, b)
         losses[key] = float(mt["overall_loss"])
     assert losses["gated"] == losses["plain"], losses
+
+
+def test_lattice_filter_without_tables_fails_loudly():
+    """energy_filter='lattice' + a batch missing the precomputed
+    'energy_lattice' tables must raise at trace time instead of silently
+    re-inlining the compile-hostile lattice build into the step jit
+    (ADVICE r3; see objectives/energy.build_energy_lattice)."""
+    cfg = _cfg(energy_filter="lattice")
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, 2)
+    tx = build_optimizer(cfg, state.student)
+    step = build_train_step(cfg, model, tx)
+    with pytest.raises(ValueError, match="energy_lattice"):
+        step(state, _batch(cfg, 2))
+
+
+def test_simg_from_packed_matches_unpack():
+    """simg_from_packed is the single source of truth for pack_batch's
+    stacking order: it must equal unpack_batch's strong-crop slot on both
+    packed and unpacked batches (ADVICE r3)."""
+    from cosa_tpu.data.loader import pack_batch, simg_from_packed, unpack_batch
+
+    cfg = _cfg()
+    raw = _batch(cfg, 4)
+    packed = pack_batch(raw)
+    np.testing.assert_array_equal(
+        np.asarray(simg_from_packed(packed)), raw["simg"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_batch(packed)[1]), raw["simg"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(simg_from_packed(raw)), raw["simg"]
+    )
