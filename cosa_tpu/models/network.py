@@ -117,12 +117,23 @@ class CoSANetwork(nn.Module):
         )
 
 
-def build_model(cfg, quant: bool = False) -> CoSANetwork:
-    """Model factory (reference models/__init__.py:13-79, 'vit' branch).
+def build_model(cfg, quant: bool = False):
+    """Model factory (reference models/__init__.py:13-79).
+
+    The 'vit' branch (the live pipeline) builds CoSANetwork here; every
+    other family — the reference's commented-out zoo branches ('res38',
+    'mmseg', 'swinend2end') plus 'segformer' — dispatches to
+    models/zoo/__init__.py::build_zoo_model. 'swinend2end' returns the
+    full CoSA interface and co-trains; the rest are seg-only models like
+    their reference counterparts.
 
     ``quant=True`` builds the int8-projection twin (same param tree) used
     for the no-grad teacher TTA when cfg.teacher_int8 is on."""
-    assert cfg.model == "vit", f"unsupported model {cfg.model}"
+    if cfg.model != "vit":
+        from cosa_tpu.models.zoo import build_zoo_model
+
+        assert not quant, "int8 teacher twin is ViT-only"
+        return build_zoo_model(cfg)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32

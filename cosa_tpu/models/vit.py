@@ -40,10 +40,15 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     base_img_size: int = 224  # grid the pretrained pos-embed was trained at
+    # DeiT distillation token (reference models/vit/deit.py:21-56:
+    # DistilledVisionTransformer prepends [dist, cls] and its pos-embed has
+    # num_patches+2 rows). The dist token rides along; CoSA's heads read only
+    # the CLS token + patch tokens, matching the reference's x[:, 1]/x[:, 2:].
+    distilled: bool = False
 
 
-# registry mirroring the reference's constructor zoo (models/vit/vit.py:342+);
-# the tiny/small entries keep tests and dry runs fast.
+# registry mirroring the reference's constructor zoo (models/vit/vit.py:342+
+# and the DeiT zoo models/vit/deit.py:69-192); tiny entries keep tests fast.
 BACKBONES = {
     "vit_base_patch16_224": ViTConfig(),
     "vit_large_patch16_224": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
@@ -51,6 +56,25 @@ BACKBONES = {
         embed_dim=384, depth=12, num_heads=6, qkv_bias=True
     ),
     "vit_tiny_test": ViTConfig(embed_dim=64, depth=3, num_heads=4, base_img_size=64),
+    # DeiT variants (deit.py:69-107): plain ones are ViTs at DeiT widths
+    "deit_tiny_patch16_224": ViTConfig(embed_dim=192, depth=12, num_heads=3),
+    "deit_small_patch16_224": ViTConfig(embed_dim=384, depth=12, num_heads=6),
+    "deit_base_patch16_224": ViTConfig(),
+    "deit_base_patch16_384": ViTConfig(base_img_size=384),
+    # distilled variants (deit.py:112-192)
+    "deit_tiny_distilled_patch16_224": ViTConfig(
+        embed_dim=192, depth=12, num_heads=3, distilled=True
+    ),
+    "deit_small_distilled_patch16_224": ViTConfig(
+        embed_dim=384, depth=12, num_heads=6, distilled=True
+    ),
+    "deit_base_distilled_patch16_224": ViTConfig(distilled=True),
+    "deit_base_distilled_patch16_384": ViTConfig(
+        base_img_size=384, distilled=True
+    ),
+    "deit_tiny_test_distilled": ViTConfig(
+        embed_dim=64, depth=3, num_heads=4, base_img_size=64, distilled=True
+    ),
 }
 
 
@@ -213,29 +237,47 @@ class VisionTransformer(nn.Module):
             c.embed_dim, c.patch_size, dtype=self.dtype, name="patch_embed"
         )(x)
 
+        # DeiT-distilled prepends [dist, cls] (deit.py:44: dist FIRST, so the
+        # downstream x[:, 1]/x[:, 2:] reads stay CLS/patches); plain ViT
+        # prepends [cls] only.
+        npre = 2 if c.distilled else 1
         cls_token = self.param(
             "cls_token",
             nn.initializers.truncated_normal(0.02),
             (1, 1, c.embed_dim),
             jnp.float32,
         )
+        prefix = [cls_token]
+        if c.distilled:
+            dist_token = self.param(
+                "dist_token",
+                nn.initializers.truncated_normal(0.02),
+                (1, 1, c.embed_dim),
+                jnp.float32,
+            )
+            prefix = [dist_token, cls_token]
         # frozen pos-embed (reference vit.py:236-237); excluded from the
         # optimizer via the "frozen" param group (train/optimizer.py) rather
         # than a requires_grad flag.
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.truncated_normal(0.02),
-            (1, gs * gs + 1, c.embed_dim),
+            (1, gs * gs + npre, c.embed_dim),
             jnp.float32,
         )
-        patch_pos = pos_embed[:, 1:, :].reshape(1, gs, gs, c.embed_dim)
+        patch_pos = pos_embed[:, npre:, :].reshape(1, gs, gs, c.embed_dim)
         patch_pos = resize_bicubic(patch_pos, (gh, gw)).reshape(
             1, gh * gw, c.embed_dim
         )
-        pos = jnp.concatenate([pos_embed[:, :1, :], patch_pos], axis=1)
+        pos = jnp.concatenate([pos_embed[:, :npre, :], patch_pos], axis=1)
 
         tok = jnp.concatenate(
-            [jnp.broadcast_to(cls_token, (b, 1, c.embed_dim)).astype(self.dtype), tok],
+            [
+                jnp.broadcast_to(
+                    jnp.concatenate(prefix, axis=1), (b, npre, c.embed_dim)
+                ).astype(self.dtype),
+                tok,
+            ],
             axis=1,
         )
         tok = tok + pos.astype(self.dtype)
@@ -245,7 +287,7 @@ class VisionTransformer(nn.Module):
         # for matmuls) and lets the attention kernel skip per-layer pad
         # copies. Pad keys are masked inside attention via n_valid; pad rows
         # carry garbage that is sliced off before the heads.
-        n_tok = gh * gw + 1
+        n_tok = gh * gw + npre
         npp = -(-n_tok // 128) * 128
         if npp != n_tok:
             tok = jnp.pad(tok, ((0, 0), (0, npp - n_tok), (0, 0)))
@@ -273,4 +315,6 @@ class VisionTransformer(nn.Module):
             aux_tokens = tok
         else:
             aux_tokens = aux_tokens[:, :n_tok]
-        return tok[:, 0], tok[:, 1:], aux_tokens[:, 1:]
+        # CLS is the last prefix token (position npre-1: [**cls**, patches]
+        # for ViT, [dist, **cls**, patches] for DeiT — deit.py:55 x[:, 1])
+        return tok[:, npre - 1], tok[:, npre:], aux_tokens[:, npre:]

@@ -15,3 +15,15 @@ from cosa_tpu.objectives.pseudo import (  # noqa: F401
     seg_refine_by_label,
     seg_validation,
 )
+from cosa_tpu.objectives.variants import (  # noqa: F401
+    mask_to_onehot,
+    multi_scale_camseg_v2,
+    multi_scale_camseg_v4,
+    multi_scale_cls,
+    multi_scale_seg,
+    seg_get_pseudo,
+    seg_loss_v2,
+    seg_softloss,
+    seg_softloss_v2,
+    seg_weightloss,
+)
