@@ -81,6 +81,9 @@ class Config:
     # ShapesWSSS run, seg_loss frozen at log(21) from iter 1500 on).
     warmup_gate_floor: float = 0.0
     lr_warmup_iters: int = 1500  # optimizer LR warmup (main.py:67)
+    # 'poly_adamw' = the live PolyWarmupAdamW; the others are the
+    # reference's unused constructors (utils/torch_helper.py:228-358)
+    optimizer: str = "poly_adamw"
     lr: float = 6e-5
     lrscale: float = 10.0  # head/decoder LR multiplier (args.py:123)
     min_mult: float = 0.0
@@ -198,7 +201,15 @@ class Config:
 
     # ---- derived ---------------------------------------------------------
     def validate(self) -> "Config":
+        # 'vit' is the live pipeline; the rest mirror the reference's
+        # commented zoo branches (models/__init__.py:25-75) + 'segformer'
+        assert self.model in (
+            "vit", "res38", "mmseg", "swinend2end", "segformer"
+        ), self.model
         assert self.decoder in ("LargeFOV", "Maskformer"), self.decoder
+        assert self.optimizer in (
+            "poly_adamw", "cos_adamw", "poly_sgd", "poly_cls_sgd"
+        ), self.optimizer
         assert self.detach in ("all", "feat", "none", "cls"), self.detach
         assert self.camloss_version in ("v1", "v2", "v3"), self.camloss_version
         assert 1.0 in self.pseudo_scales, "scale 1.0 must be in pseudo_scales"

@@ -210,6 +210,119 @@ class ClsTrainDataset:
         )
 
 
+class ClsMultiCropDataset:
+    """DINO-style multi-crop training samples (reference VOC12ClsDataset
+    voc.py:84-218, unused in the live path). With ``aug=True`` each sample
+    carries three views of one image:
+
+      crops[0] = global view 1: scale/flip/crop(+img_box) -> flip+jitter
+                 +grayscale -> blur(p=1)           (voc.py:131-137,166-169)
+      crops[1] = global view 2: RandomResizedCrop(crop, [0.4,1], bicubic)
+                 -> flip+jitter+grayscale -> blur(p=.1) -> solarize(p=.2)
+                 on the UNCROPPED image             (voc.py:138-143,207)
+      crops[2] = local view: flip+jitter+grayscale -> blur(p=.5) on the
+                 cropped image (the RandomResizedCrop is commented out in
+                 the reference, voc.py:145-149)
+
+    Emits uint8 (device-side normalization), like the live datasets."""
+
+    def __init__(self, base: _BaseDataset, crop_size: int = 512,
+                 rescale_range=(0.5, 2.0), aug: bool = True, seed: int = 0):
+        self.base = base
+        self.crop_size = crop_size
+        self.rescale_range = tuple(rescale_range) if rescale_range else None
+        self.aug = aug
+        self.labels = _LabelDict(base)
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def _flip_jitter_gray(self, rng, pil):
+        if rng.random() < 0.5:
+            pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+        if rng.random() < 0.8:
+            pil = transforms.color_jitter(rng, pil)
+        return transforms.random_grayscale(rng, pil, p=0.2)
+
+    def __getitem__(self, key) -> Dict[str, np.ndarray]:
+        epoch, idx = key if isinstance(key, tuple) else (0, key)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx, 7])
+        )
+        name, image, _ = self.base.raw(idx, want_label=False)
+        cls_label = self.labels(name, idx)
+        if not self.aug:
+            return dict(name=name, image=np.asarray(image, np.uint8),
+                        cls_label=cls_label)
+        orig = Image.fromarray(np.ascontiguousarray(image))
+        if self.rescale_range:
+            image = transforms.random_scaling(
+                rng, image, scale_range=self.rescale_range)
+        image = transforms.random_fliplr(rng, image)
+        image, img_box = transforms.random_crop(
+            rng, image, crop_size=self.crop_size, mean_rgb=(0, 0, 0),
+            ignore_index=self.base.ignore_index,
+        )
+        cropped = Image.fromarray(np.ascontiguousarray(image))
+
+        g1 = transforms.gaussian_blur(
+            rng, self._flip_jitter_gray(rng, cropped), p=1.0)
+        g2 = transforms.random_resized_crop(rng, orig, self.crop_size)
+        g2 = transforms.gaussian_blur(rng, self._flip_jitter_gray(rng, g2),
+                                      p=0.1)
+        g2 = transforms.solarization(rng, g2, p=0.2)
+        local = transforms.gaussian_blur(
+            rng, self._flip_jitter_gray(rng, cropped), p=0.5)
+
+        g1 = np.asarray(g1, np.uint8)
+        return dict(
+            name=name, image=g1, cls_label=cls_label, img_box=img_box,
+            crops=[g1, np.asarray(g2, np.uint8), np.asarray(local, np.uint8)],
+        )
+
+
+class SegTrainDataset:
+    """Supervised-seg training samples (reference VOC12SegDatasetNew
+    voc.py:371-443, unused in the live path): the ClsTrainDataset pipeline
+    with the GT mask carried through scale/flip/crop — returns
+    (name, weak, strong, cls_label, img_box, label)."""
+
+    def __init__(self, base: _BaseDataset, crop_size: int = 448,
+                 rescale_range=(0.5, 2.0), seed: int = 0):
+        self.base = base
+        self.crop_size = crop_size
+        self.rescale_range = tuple(rescale_range)
+        self.labels = _LabelDict(base)
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, key) -> Dict[str, np.ndarray]:
+        epoch, idx = key if isinstance(key, tuple) else (0, key)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx, 11])
+        )
+        name, image, label = self.base.raw(idx)
+        image, label = transforms.random_scaling(
+            rng, image, label=label, scale_range=self.rescale_range)
+        image, label = transforms.random_fliplr(rng, image, label=label)
+        image, label, img_box = transforms.random_crop(
+            rng, image, label=label, crop_size=self.crop_size,
+            mean_rgb=(0, 0, 0), ignore_index=self.base.ignore_index,
+        )
+        pil = Image.fromarray(np.ascontiguousarray(image))
+        pil = transforms.gaussian_blur(rng, pil, p=0.5)
+        weak = np.asarray(pil, np.uint8)
+        strong = np.asarray(randaug.one_of(rng, pil), np.uint8)
+        return dict(
+            name=name, wimg=weak, simg=strong,
+            cls_label=self.labels(name, idx), img_box=img_box,
+            label=np.asarray(label, np.uint8),
+        )
+
+
 class SegValDataset:
     """Validation samples (reference VOC12SegDataset voc.py:307-369, aug off):
     raw-size uint8 image + GT mask + image-level labels.

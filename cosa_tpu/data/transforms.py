@@ -16,7 +16,7 @@ import random
 from typing import Optional, Tuple
 
 import numpy as np
-from PIL import Image, ImageFilter
+from PIL import Image, ImageEnhance, ImageFilter
 
 
 def random_scaling(
@@ -178,6 +178,84 @@ class PhotoMetricDistortion:
         if mode == 0 and rng.integers(2):
             img = self._convert(img, alpha=rng.uniform(*self.contrast))
         return img
+
+
+def solarization(rng: np.random.Generator, img: Image.Image,
+                 p: float = 0.2, threshold: int = 128) -> Image.Image:
+    """Reference transforms.py Solarization (ImageOps.solarize with prob)."""
+    if rng.random() > p:
+        return img
+    from PIL import ImageOps
+
+    return ImageOps.solarize(img, threshold)
+
+
+def color_jitter(rng: np.random.Generator, img: Image.Image,
+                 brightness: float = 0.4, contrast: float = 0.4,
+                 saturation: float = 0.2, hue: float = 0.1) -> Image.Image:
+    """torchvision ColorJitter semantics (used by the reference's DINO-style
+    VOC12ClsDataset, voc.py:122-128): the four adjustments in a random
+    order, factors uniform in [max(0, 1-x), 1+x] (hue in [-h, h])."""
+    ops = list(rng.permutation(4))
+    for op in ops:
+        if op == 0 and brightness > 0:
+            f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif op == 1 and contrast > 0:
+            f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif op == 2 and saturation > 0:
+            f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+            img = ImageEnhance.Color(img).enhance(f)
+        elif op == 3 and hue > 0:
+            f = rng.uniform(-hue, hue)
+            h, s, v = _rgb_to_hsv(np.asarray(img))
+            h = (h + f * 180.0) % 180.0  # full circle = 180 OpenCV units
+            img = Image.fromarray(_hsv_to_rgb(h, s, v))
+    return img
+
+
+def random_grayscale(rng: np.random.Generator, img: Image.Image,
+                     p: float = 0.2) -> Image.Image:
+    """torchvision RandomGrayscale: ITU-R 601-2 luma replicated to 3ch."""
+    if rng.random() > p:
+        return img
+    return img.convert("L").convert("RGB")
+
+
+def random_resized_crop(
+    rng: np.random.Generator,
+    img: Image.Image,
+    size: int,
+    scale: Tuple[float, float] = (0.4, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> Image.Image:
+    """torchvision RandomResizedCrop (bicubic, as the reference's
+    global_view2/local_view use): 10 attempts at a (scale-uniform area,
+    log-uniform aspect) crop, else the torchvision center-crop fallback."""
+    w, h = img.size
+    area = h * w
+    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+    for _ in range(10):
+        target = area * rng.uniform(scale[0], scale[1])
+        ar = float(np.exp(rng.uniform(*log_ratio)))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            return img.resize((size, size), Image.BICUBIC,
+                              box=(x0, y0, x0 + cw, y0 + ch))
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    x0, y0 = (w - cw) // 2, (h - ch) // 2
+    return img.resize((size, size), Image.BICUBIC,
+                      box=(x0, y0, x0 + cw, y0 + ch))
 
 
 def gaussian_blur(

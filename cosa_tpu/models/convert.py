@@ -37,6 +37,10 @@ def encoder_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
         "bias": _t(sd["patch_embed.proj.bias"]),
     }
     p["cls_token"] = _t(sd["cls_token"])
+    if "dist_token" in sd:
+        # DeiT-distilled (reference models/vit/deit.py:21-56): the dist
+        # token converts 1:1 and pos_embed simply has num_patches+2 rows
+        p["dist_token"] = _t(sd["dist_token"])
     p["pos_embed"] = _t(sd["pos_embed"])
     for i in range(depth):
         b = f"blocks.{i}."

@@ -86,13 +86,18 @@ class MaskTransformer(nn.Module):
     # nn.LayerNorm (maskformer_head.py:73-76,133-134), unlike the ViT
     # encoder's 1e-6
     ln_eps: float = 1e-5
+    # MultiMaskTransformer (maskformer_head.py:167-235, DEAD in the
+    # reference): also emit masks from the PENULTIMATE block through the
+    # same shared mask head -> returns (masks_pen, masks_final)
+    multi: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, tokens: jnp.ndarray, im_size: Tuple[int, int]
     ) -> jnp.ndarray:
-        """tokens: (B, N, D_enc) patch tokens -> (B, gh, gw, n_cls) masks."""
+        """tokens: (B, N, D_enc) patch tokens -> (B, gh, gw, n_cls) masks
+        (a pair of them when ``multi``)."""
         b, n, _ = tokens.shape
         dm = self.d_model
         gh = im_size[0] // self.patch_size
@@ -110,7 +115,7 @@ class MaskTransformer(nn.Module):
             [x, jnp.broadcast_to(cls_emb, (b, self.n_cls, dm)).astype(self.dtype)],
             axis=1,
         )
-        for i in range(self.n_layers):
+        for i in range(self.n_layers - 1):
             x = _DecBlock(
                 heads=dm // 64,
                 mlp_dim=4 * dm,
@@ -118,10 +123,21 @@ class MaskTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)
-        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="decoder_norm")(x)
-        x = x.astype(self.dtype)
+        x_pen = x
+        x = _DecBlock(
+            heads=dm // 64,
+            mlp_dim=4 * dm,
+            ln_eps=self.ln_eps,
+            dtype=self.dtype,
+            name=f"blocks_{self.n_layers - 1}",
+        )(x_pen)
 
-        patches, cls_feat = x[:, : -self.n_cls], x[:, -self.n_cls :]
+        # the mask head is SHARED between taps (maskformer_head.py:214-219
+        # applies the same decoder_norm/projections/mask_norm to both)
+        decoder_norm = nn.LayerNorm(
+            epsilon=self.ln_eps, dtype=jnp.float32, name="decoder_norm")
+        mask_norm = nn.LayerNorm(
+            epsilon=self.ln_eps, dtype=jnp.float32, name="mask_norm")
         proj_patch = self.param(
             "proj_patch",
             nn.initializers.normal(dm ** -0.5),
@@ -134,15 +150,24 @@ class MaskTransformer(nn.Module):
             (dm, dm),
             jnp.float32,
         )
-        patches = patches @ proj_patch.astype(self.dtype)
-        cls_feat = cls_feat @ proj_classes.astype(self.dtype)
-        patches = patches / (
-            jnp.linalg.norm(patches.astype(jnp.float32), axis=-1, keepdims=True)
-        ).astype(self.dtype)
-        cls_feat = cls_feat / (
-            jnp.linalg.norm(cls_feat.astype(jnp.float32), axis=-1, keepdims=True)
-        ).astype(self.dtype)
-        masks = jnp.einsum("bnd,bcd->bnc", patches, cls_feat)
-        masks = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
-                             name="mask_norm")(masks.astype(jnp.float32))
-        return masks.reshape(b, gh, gw, self.n_cls)
+
+        def cls_forward(xt: jnp.ndarray) -> jnp.ndarray:
+            xt = decoder_norm(xt).astype(self.dtype)
+            patches, cls_feat = xt[:, : -self.n_cls], xt[:, -self.n_cls:]
+            patches = patches @ proj_patch.astype(self.dtype)
+            cls_feat = cls_feat @ proj_classes.astype(self.dtype)
+            patches = patches / (
+                jnp.linalg.norm(patches.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+            ).astype(self.dtype)
+            cls_feat = cls_feat / (
+                jnp.linalg.norm(cls_feat.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+            ).astype(self.dtype)
+            masks = jnp.einsum("bnd,bcd->bnc", patches, cls_feat)
+            masks = mask_norm(masks.astype(jnp.float32))
+            return masks.reshape(b, gh, gw, self.n_cls)
+
+        if self.multi:
+            return cls_forward(x_pen), cls_forward(x)
+        return cls_forward(x)

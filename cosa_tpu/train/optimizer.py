@@ -43,11 +43,80 @@ def poly_warmup_schedule(
     return sched
 
 
+def cos_warmup_schedule(
+    base_lr: float,
+    warmup_iter: int = 1500,
+    max_iter: int = 40000,
+    warmup_ratio: float = 1e-6,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CosWarmupAdamW's lr(step) (reference utils/torch_helper.py:228-259,
+    unused there). Warmup is the reference's ABSOLUTE blend — lr =
+    base*s/w + (1-s/w)*ratio, the additive term is not scaled by base —
+    then a half-cosine from base to 0 over the remaining iters."""
+
+    def sched(step):
+        s = jnp.minimum(step.astype(jnp.float32), max_iter - 1)
+        warm = base_lr * (s / warmup_iter) + (1.0 - s / warmup_iter) * warmup_ratio
+        t = (s - warmup_iter) / (max_iter - warmup_iter)
+        cos = base_lr * (jnp.cos(t * jnp.pi) * 0.5 + 0.5)
+        return jnp.where(s < warmup_iter, warm, cos)
+
+    return sched
+
+
+def poly_sgd_schedule(
+    base_lr: float,
+    warmup_iter: int = 1500,
+    max_iter: int = 40000,
+    power: float = 0.9,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """PolyWarmupSGD's lr(step) (reference utils/torch_helper.py:295-326,
+    unused there), quirk preserved: during "warmup" the multiplier is
+    (1 - s/w)^power * 10 — a DECAY from 10x to 0 — then the usual poly."""
+
+    def sched(step):
+        s = jnp.minimum(step.astype(jnp.float32), max_iter - 1)
+        warm = (1.0 - s / warmup_iter) ** power * 10.0
+        poly = (1.0 - (s - warmup_iter) / (max_iter - warmup_iter)) ** power
+        return base_lr * jnp.where(s < warmup_iter, warm, poly)
+
+    return sched
+
+
+def poly_cls_schedule(
+    base_lr: float,
+    max_step: int,
+    momentum: float = 0.9,
+    constant: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """PolyOptimizer_cls's lr(step) (reference utils/torch_helper.py:327-358,
+    unused there): (1 - s/max)^momentum — the exponent really is the
+    `momentum` argument — with ``constant=True`` reproducing the group-4
+    special case that holds its initial lr (torch_helper.py:345-349)."""
+
+    def sched(step):
+        if constant:
+            return jnp.asarray(base_lr, jnp.float32)
+        s = jnp.minimum(step.astype(jnp.float32), max_step - 1)
+        return base_lr * (1.0 - s / max_step) ** momentum
+
+    return sched
+
+
 def param_label(path_str: str) -> str:
     if "pos_embed" in path_str:
         return "frozen"
     if path_str.startswith("encoder"):
         return "norm" if "norm" in path_str else "backbone"
+    if path_str.startswith("backbone"):
+        # SwinNetwork ('swinend2end'): the reference MMSWIN routes norms +
+        # relative-position bias tables to the norm group via wt_keys
+        # (mmsegmodel/__init__.py:88,131-148)
+        return (
+            "norm"
+            if ("norm" in path_str or "rel_pos_bias" in path_str)
+            else "backbone"
+        )
     if "classifier" in path_str:  # classifier / aux_classifier
         return "head"
     if path_str.startswith("decoder"):
@@ -66,31 +135,63 @@ def _labels_for(params: Any) -> Any:
 
 
 def build_optimizer(cfg, params: Any) -> optax.GradientTransformation:
-    def adamw(lr_mult: float, wd: float):
-        return optax.adamw(
-            learning_rate=poly_warmup_schedule(
-                cfg.lr * lr_mult,
-                warmup_iter=cfg.lr_warmup_iters,
-                max_iter=cfg.max_iters,
+    """The live PolyWarmupAdamW plus the reference's three unused
+    constructors (utils/torch_helper.py:228-358), selected by
+    ``cfg.optimizer``; all share the four path-derived param groups."""
+    kind = getattr(cfg, "optimizer", "poly_adamw")
+
+    def sched_for(lr_mult: float):
+        lr = cfg.lr * lr_mult
+        if kind == "poly_adamw":
+            return poly_warmup_schedule(
+                lr, warmup_iter=cfg.lr_warmup_iters, max_iter=cfg.max_iters,
+                warmup_ratio=1e-6, power=0.9, min_mult=cfg.min_mult,
+            )
+        if kind == "cos_adamw":
+            return cos_warmup_schedule(
+                lr, warmup_iter=cfg.lr_warmup_iters, max_iter=cfg.max_iters,
                 warmup_ratio=1e-6,
+            )
+        if kind == "poly_sgd":
+            return poly_sgd_schedule(
+                lr, warmup_iter=cfg.lr_warmup_iters, max_iter=cfg.max_iters,
                 power=0.9,
-                min_mult=cfg.min_mult,
-            ),
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=wd,
-        )
+            )
+        if kind == "poly_cls_sgd":
+            # group 4 (the last head group in the reference's cls setup)
+            # holds its initial lr; our 'head' label plays that role
+            return poly_cls_schedule(
+                lr, max_step=cfg.max_iters, momentum=0.9,
+                constant=lr_mult != 1.0,
+            )
+        raise ValueError(f"unknown optimizer {kind}")
+
+    def tx(lr_mult: float, wd: float):
+        if kind in ("poly_adamw", "cos_adamw"):
+            return optax.adamw(
+                learning_rate=sched_for(lr_mult),
+                b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd,
+            )
+        if kind == "poly_sgd":
+            # reference: torch.optim.SGD(momentum=0.9, weight_decay=wd)
+            return optax.chain(
+                optax.add_decayed_weights(wd),
+                optax.sgd(learning_rate=sched_for(lr_mult), momentum=0.9),
+            )
+        # poly_cls_sgd quirk kept verbatim: the reference passes weight_decay
+        # POSITIONALLY into torch.optim.SGD's momentum slot
+        # (torch_helper.py:330), so SGD momentum = wd and no decay at all.
+        return optax.sgd(learning_rate=sched_for(lr_mult), momentum=wd)
 
     transforms: Dict[str, optax.GradientTransformation] = {
-        "backbone": adamw(1.0, cfg.wt_dec),
+        "backbone": tx(1.0, cfg.wt_dec),
         "norm": (
             optax.set_to_zero()
             if cfg.freeze_norm
-            else adamw(1.0, cfg.wt_dec * cfg.wt_dec_mult)
+            else tx(1.0, cfg.wt_dec * cfg.wt_dec_mult)
         ),
-        "head": adamw(cfg.lrscale, cfg.wt_dec),
-        "decoder": adamw(cfg.lrscale, cfg.wt_dec),
+        "head": tx(cfg.lrscale, cfg.wt_dec),
+        "decoder": tx(cfg.lrscale, cfg.wt_dec),
         "frozen": optax.set_to_zero(),
     }
     return optax.multi_transform(transforms, _labels_for(params))

@@ -1,0 +1,374 @@
+"""Tests for the reference's DEAD-but-shipped components rebuilt in round 4:
+unused optimizer constructors (utils/torch_helper.py:228-358), the Evaluator
+metrics class (utils/metrics.py:4-66), the DINO-style multi-crop and
+supervised-seg dataset variants (dataloaders/voc.py:84-218, :371-443), and
+the imutils legacy collection (dataloaders/imutils.py)."""
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+import jax.numpy as jnp
+import optax
+
+from cosa_tpu.config import voc_config
+from cosa_tpu.data import imutils, transforms
+from cosa_tpu.data.datasets import (
+    ClsMultiCropDataset,
+    SegTrainDataset,
+    SyntheticBase,
+)
+from cosa_tpu.eval.metrics import Evaluator, fast_hist
+from cosa_tpu.train.optimizer import (
+    build_optimizer,
+    cos_warmup_schedule,
+    poly_cls_schedule,
+    poly_sgd_schedule,
+)
+
+
+# ---------------------------------------------------------------------------
+# optimizer variants
+# ---------------------------------------------------------------------------
+def _ref_cos_lr(s, base, w=1500, mx=40000, ratio=1e-6):
+    """CosWarmupAdamW.step's lr update (torch_helper.py:242-255)."""
+    if s < w:
+        return base * (s / w) + (1 - s / w) * ratio
+    s = min(s, mx - 1)
+    return base * (np.cos((s - w) / (mx - w) * np.pi) * 0.5 + 0.5)
+
+
+def _ref_poly_sgd_lr(s, base, w=1500, mx=40000, power=0.9):
+    """PolyWarmupSGD.step's lr update (torch_helper.py:308-321)."""
+    if s < w:
+        return base * (1 - s / w) ** power * 10
+    s = min(s, mx - 1)
+    return base * (1 - (s - w) / (mx - w)) ** power
+
+
+def test_cos_schedule_matches_reference():
+    sched = cos_warmup_schedule(6e-5, 1500, 40000, 1e-6)
+    for s in [0, 1, 750, 1499, 1500, 10000, 20750, 39999, 45000]:
+        ours = float(sched(jnp.asarray(s)))
+        ref = _ref_cos_lr(s, 6e-5)
+        # f32 cos vs f64: absolute slack for the vanishing tail
+        assert abs(ours - ref) <= 1e-4 * abs(ref) + 1e-9, (s, ours, ref)
+
+
+def test_poly_sgd_schedule_matches_reference():
+    sched = poly_sgd_schedule(1e-3, 1500, 40000, 0.9)
+    for s in [0, 1, 750, 1499, 1500, 10000, 39999, 45000]:
+        ours = float(sched(jnp.asarray(s)))
+        ref = _ref_poly_sgd_lr(s, 1e-3)
+        # f32 pow rounding in the vanishing-lr tail (same slack as the
+        # poly_adamw trajectory test)
+        assert abs(ours - ref) <= 1e-3 * abs(ref) + 1e-9, (s, ours, ref)
+
+
+def test_poly_cls_schedule():
+    sched = poly_cls_schedule(1e-2, max_step=1000, momentum=0.9)
+    assert float(sched(jnp.asarray(0))) == pytest.approx(1e-2)
+    assert float(sched(jnp.asarray(500))) == pytest.approx(1e-2 * 0.5**0.9, rel=1e-5)
+    const = poly_cls_schedule(1e-2, max_step=1000, constant=True)
+    assert float(const(jnp.asarray(777))) == pytest.approx(1e-2)
+
+
+def test_poly_sgd_step_matches_torch():
+    """One 'backbone' update of optimizer='poly_sgd' vs
+    torch.optim.SGD(momentum=0.9, weight_decay=wd) at the schedule's lr(0)."""
+    cfg = voc_config(optimizer="poly_sgd")
+    w0 = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+    g = np.random.default_rng(1).standard_normal((4, 3)).astype(np.float32)
+
+    lr0 = _ref_poly_sgd_lr(0, cfg.lr, cfg.lr_warmup_iters, cfg.max_iters)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([tw], lr=lr0, momentum=0.9, weight_decay=cfg.wt_dec)
+    tw.grad = torch.from_numpy(g.copy())
+    opt.step()
+
+    params = {"encoder": {"patch_embed": {"kernel": jnp.asarray(w0)}}}
+    grads = {"encoder": {"patch_embed": {"kernel": jnp.asarray(g)}}}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new["encoder"]["patch_embed"]["kernel"]),
+        tw.detach().numpy(), rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_all_optimizer_kinds_step():
+    for kind in ("poly_adamw", "cos_adamw", "poly_sgd", "poly_cls_sgd"):
+        cfg = voc_config(optimizer=kind)
+        params = {"decoder": {"kernel": jnp.ones((3, 2))}}
+        grads = {"decoder": {"kernel": jnp.full((3, 2), 0.1)}}
+        tx = build_optimizer(cfg, params)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(new["decoder"]["kernel"])))
+
+
+def test_config_rejects_unknown_optimizer():
+    with pytest.raises(AssertionError):
+        voc_config(optimizer="adam")
+
+
+# ---------------------------------------------------------------------------
+# Evaluator (utils/metrics.py:4-66)
+# ---------------------------------------------------------------------------
+def test_evaluator_matches_reference_math():
+    rng = np.random.default_rng(3)
+    n = 5
+    gt = rng.integers(0, n, size=(2, 20, 20)).astype(np.int64)
+    gt[0, :3, :3] = 255  # out-of-range rows are dropped by _generate_matrix
+    pred = rng.integers(0, n, size=(2, 20, 20)).astype(np.int64)
+
+    ev = Evaluator(n)
+    ev.add_batch(gt[0], pred[0])
+    ev.add_batch(gt[1], pred[1])
+
+    h = (fast_hist(gt[0].flatten(), pred[0].flatten(), n)
+         + fast_hist(gt[1].flatten(), pred[1].flatten(), n)).astype(np.float64)
+    np.testing.assert_array_equal(ev.confusion_matrix, h)
+
+    assert ev.Pixel_Accuracy() == pytest.approx(np.diag(h).sum() / h.sum())
+    acc_cls = np.nanmean(np.diag(h) / h.sum(axis=1))
+    assert ev.Pixel_Accuracy_Class() == pytest.approx(acc_cls)
+    iou = np.diag(h) / (h.sum(1) + h.sum(0) - np.diag(h))
+    per, miou = ev.Mean_Intersection_over_Union()
+    np.testing.assert_allclose(per, iou)
+    assert miou == pytest.approx(np.nanmean(iou))
+    freq = h.sum(1) / h.sum()
+    assert ev.Frequency_Weighted_Intersection_over_Union() == pytest.approx(
+        (freq[freq > 0] * iou[freq > 0]).sum())
+    prec, rec, mp, mr = ev.Precision_Recall()
+    np.testing.assert_allclose(prec, np.diag(h) / (h.sum(0) + 1e-5))
+    assert mp == pytest.approx(np.nanmean(prec))
+
+    # ignore=True drops the LAST class from the class-averaged metrics
+    ev2 = Evaluator(n, ignore=True)
+    ev2.add_batch(gt[0], pred[0])
+    per2, miou2 = ev2.Mean_Intersection_over_Union()
+    assert per2.shape == (n - 1,)
+
+    ev.reset()
+    assert ev.confusion_matrix.sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# dataset variants on the synthetic base (no disk data needed)
+# ---------------------------------------------------------------------------
+def test_multicrop_dataset_shapes_and_determinism():
+    base = SyntheticBase(num_classes=6, size=(96, 120), length=4,
+                         split="train", stage="train")
+    ds = ClsMultiCropDataset(base, crop_size=64, seed=5)
+    s = ds[(0, 1)]
+    assert s["image"].shape == (64, 64, 3) and s["image"].dtype == np.uint8
+    assert len(s["crops"]) == 3
+    for c in s["crops"]:
+        assert c.shape == (64, 64, 3) and c.dtype == np.uint8
+    assert s["cls_label"].shape == (5,)
+    b = s["img_box"]
+    assert 0 <= b[0] <= b[1] <= 64 and 0 <= b[2] <= b[3] <= 64
+    # replayable: same (epoch, idx) -> identical bytes
+    s2 = ds[(0, 1)]
+    np.testing.assert_array_equal(s["crops"][1], s2["crops"][1])
+    # different epoch -> different augmentation (overwhelmingly likely)
+    s3 = ds[(1, 1)]
+    assert not np.array_equal(s["crops"][1], s3["crops"][1])
+    # aug=False returns the raw image
+    plain = ClsMultiCropDataset(base, crop_size=64, aug=False)[(0, 1)]
+    assert "crops" not in plain
+
+
+def test_seg_train_dataset_carries_label():
+    base = SyntheticBase(num_classes=6, size=(96, 120), length=4,
+                         split="train", stage="train")
+    ds = SegTrainDataset(base, crop_size=64, seed=5)
+    s = ds[(0, 2)]
+    assert s["wimg"].shape == (64, 64, 3) and s["simg"].shape == (64, 64, 3)
+    assert s["label"].shape == (64, 64)
+    # pad region of the label is ignore_index, interior classes valid
+    vals = set(np.unique(s["label"]).tolist())
+    assert vals <= set(range(6)) | {255}
+    s2 = ds[(0, 2)]
+    np.testing.assert_array_equal(s["label"], s2["label"])
+    np.testing.assert_array_equal(s["simg"], s2["simg"])
+
+
+# ---------------------------------------------------------------------------
+# MultiMaskTransformer (maskformer_head.py:167-235)
+# ---------------------------------------------------------------------------
+def test_multi_mask_transformer_two_taps():
+    import jax
+
+    from cosa_tpu.models.decoders import MaskTransformer
+
+    b, gh, gw, d = 2, 4, 4, 96
+    tokens = jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, gh * gw, d)), jnp.float32)
+    single = MaskTransformer(n_cls=5, patch_size=16, d_model=64)
+    params = single.init(jax.random.PRNGKey(0), tokens, (gh * 16, gw * 16))
+    out = single.apply(params, tokens, (gh * 16, gw * 16))
+
+    multi = MaskTransformer(n_cls=5, patch_size=16, d_model=64, multi=True)
+    pen, fin = multi.apply(params, tokens, (gh * 16, gw * 16))
+    assert pen.shape == fin.shape == (b, gh, gw, 5)
+    # the final tap IS the single-head output (shared mask head, same params)
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(out), atol=1e-6)
+    assert not np.allclose(np.asarray(pen), np.asarray(fin))
+
+
+# ---------------------------------------------------------------------------
+# DeiT-distilled checkpoint conversion (models/vit/deit.py layout)
+# ---------------------------------------------------------------------------
+def test_distilled_checkpoint_converts():
+    import jax
+
+    from cosa_tpu.models.convert import encoder_params_from_torch
+    from cosa_tpu.models.vit import BACKBONES, VisionTransformer
+
+    c = BACKBONES["deit_tiny_test_distilled"]
+    model = VisionTransformer(c)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.default_rng(0)
+    d, gs = c.embed_dim, c.base_img_size // c.patch_size
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype(np.float32))
+    sd = {
+        "patch_embed.proj.weight": t(d, 3, 16, 16),
+        "patch_embed.proj.bias": t(d),
+        "cls_token": t(1, 1, d),
+        "dist_token": t(1, 1, d),
+        "pos_embed": t(1, gs * gs + 2, d),
+        "norm.weight": t(d), "norm.bias": t(d),
+    }
+    for i in range(c.depth):
+        b = f"blocks.{i}."
+        sd.update({
+            b + "norm1.weight": t(d), b + "norm1.bias": t(d),
+            b + "norm2.weight": t(d), b + "norm2.bias": t(d),
+            b + "attn.qkv.weight": t(3 * d, d), b + "attn.qkv.bias": t(3 * d),
+            b + "attn.proj.weight": t(d, d), b + "attn.proj.bias": t(d),
+            b + "mlp.fc1.weight": t(4 * d, d), b + "mlp.fc1.bias": t(4 * d),
+            b + "mlp.fc2.weight": t(d, 4 * d), b + "mlp.fc2.bias": t(d),
+        })
+    conv = encoder_params_from_torch(sd, depth=c.depth)
+    # identical tree structure + shapes as a fresh flax init
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    conv_shapes = jax.tree_util.tree_map(lambda a: a.shape, conv)
+    assert ref_shapes == conv_shapes
+    # converted params run
+    cls, patches, aux = model.apply({"params": conv}, x)
+    assert cls.shape == (1, d) and patches.shape == (1, 16, d)
+    assert np.all(np.isfinite(np.asarray(cls)))
+
+
+# ---------------------------------------------------------------------------
+# DINO-aug transforms
+# ---------------------------------------------------------------------------
+def test_color_jitter_and_grayscale():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (32, 40, 3), np.uint8))
+    out = transforms.color_jitter(rng, img)
+    assert out.size == img.size
+    gray = transforms.random_grayscale(rng, img, p=1.0)
+    a = np.asarray(gray)
+    np.testing.assert_array_equal(a[..., 0], a[..., 1])
+    np.testing.assert_array_equal(a[..., 1], a[..., 2])
+    assert transforms.random_grayscale(rng, img, p=0.0) is img
+
+
+def test_random_resized_crop_and_solarize():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (50, 70, 3), np.uint8))
+    out = transforms.random_resized_crop(rng, img, 48)
+    assert out.size == (48, 48)
+    sol = transforms.solarization(rng, img, p=1.0, threshold=128)
+    a, b = np.asarray(img), np.asarray(sol)
+    hi = a >= 128
+    np.testing.assert_array_equal(b[hi], 255 - a[hi])
+    np.testing.assert_array_equal(b[~hi], a[~hi])
+
+
+# ---------------------------------------------------------------------------
+# imutils legacy collection
+# ---------------------------------------------------------------------------
+def test_imutils_resize_and_crops():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (60, 90, 3), np.uint8))
+    out = imutils.random_resize_long(rng, img, 100, 120)
+    assert 100 <= max(out.size) <= 120
+    assert out.size[0] / out.size[1] == pytest.approx(90 / 60, rel=0.05)
+
+    fixed = imutils.fix_scale_crop(img, 48)
+    assert fixed.size == (48, 48)
+
+    arr = np.asarray(img)
+    box = imutils.get_random_crop_box(rng, arr.shape[:2], 48)
+    crop = imutils.crop_with_box(arr, box)
+    np.testing.assert_array_equal(
+        crop[box[0]:box[1], box[2]:box[3]], arr[box[4]:box[5], box[6]:box[7]])
+
+    lab = np.random.default_rng(2).integers(0, 5, (60, 90), np.uint8)
+    ims = imutils.random_crop(rng, [img, arr, lab], 48, [0, 0, 255])
+    assert ims[0].size == (48, 48)
+    assert ims[1].shape == (48, 48, 3) and ims[2].shape == (48, 48)
+    # the shared box keeps image and label aligned
+    np.testing.assert_array_equal(np.asarray(ims[0]), ims[1])
+
+    cc = imutils.center_crop(arr, 100, default_value=7)
+    assert cc.shape == (100, 100, 3)
+    assert cc[0, 0, 0] == 7  # padded corner
+    cc2 = imutils.center_crop(arr, 40)
+    np.testing.assert_array_equal(cc2, arr[10:50, 25:65])
+
+
+def test_imutils_pool_rescale_scalecrop():
+    img = np.arange(24, dtype=np.float32).reshape(4, 6, 1)
+    pooled = imutils.avg_pool2d(img, 2)
+    assert pooled.shape == (2, 3, 1)
+    assert pooled[0, 0, 0] == pytest.approx((0 + 1 + 6 + 7) / 4)
+
+    x = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    half = imutils.rescale_nearest(x, 0.5)
+    assert half.shape == (2, 2)
+
+    rng = np.random.default_rng(0)
+    pimg = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (40, 60, 3), np.uint8))
+    pmask = Image.fromarray(
+        np.random.default_rng(2).integers(0, 5, (40, 60), np.uint8))
+    im2, mk2 = imutils.random_scale_crop(rng, pimg, pmask, base_size=48,
+                                         crop_size=48, fill=254)
+    assert im2.size == (48, 48) and mk2.size == (48, 48)
+
+    chw = imutils.hwc_to_chw(np.zeros((3, 5, 2)))
+    assert chw.shape == (2, 3, 5)
+
+
+def test_imutils_crf_wrappers():
+    rng = np.random.default_rng(0)
+    h, w, c = 24, 30, 4
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    logits = rng.normal(size=(c, h, w)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(0, keepdims=True)
+
+    q = imutils.crf_inference(img, probs, t=2, labels=c)
+    assert q.shape == (c, h, w)
+    np.testing.assert_allclose(q.sum(0), 1.0, atol=1e-4)
+
+    q2 = imutils.crf_inference_inf(img, probs, t=2, labels=c)
+    assert q2.shape == (c, h, w)
+
+    labels = rng.integers(0, c, (h, w)).astype(np.int32)
+    ref = imutils.crf_inference_label(img, labels, t=2, n_labels=c)
+    assert ref.shape == (h, w)
+    assert ref.min() >= 0 and ref.max() < c
