@@ -183,9 +183,10 @@ class PatchMerging(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, hh % 2), (0, ww % 2), (0, 0)))
             hh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
-        # mmcv unfold order: (row-major within the 2x2 patch) x channels,
-        # i.e. concat[(0,0),(0,1),(1,0),(1,1)] along features
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+        # mmcv PatchMerging flattens each 2x2 block with nn.Unfold, whose
+        # feature order is CHANNEL-major: index = c*4 + (row*2 + col). Kept
+        # identical so mmseg Swin checkpoints map 1:1 onto `reduction`.
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, hh // 2, ww // 2, 4 * c)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         name="reduction")(x.astype(self.dtype))

@@ -1,0 +1,136 @@
+"""Numeric torch-oracle parity for the zoo transformer primitives.
+
+Each test initializes OUR flax module, rebuilds the same computation with
+plain torch ops from the reference's semantics (mix_transformer.py:56-133
+spatial-reduction attention + DWConv MixFFN; mmseg Swin window attention
+with relative-position bias; mmcv PatchMerging's nn.Unfold flattening), and
+asserts elementwise agreement in f32."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from cosa_tpu.models.zoo.mit import MixFFN, SRAttention
+from cosa_tpu.models.zoo.swin import (
+    PatchMerging,
+    WindowAttention,
+    _rel_pos_index,
+    _shift_mask,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _t(a):  # flax param -> torch tensor
+    return torch.from_numpy(np.asarray(a, np.float32))
+
+
+def _lin(x, p):  # torch x @ kernel + bias with flax (in, out) kernel
+    w = _t(p["kernel"]).T
+    return F.linear(x, w, _t(p["bias"]) if "bias" in p else None)
+
+
+def _ln(x, p, eps):
+    return F.layer_norm(x, (x.shape[-1],), _t(p["scale"]), _t(p["bias"]), eps)
+
+
+def test_sr_attention_matches_torch():
+    b, h, w, c, heads, sr = 2, 8, 6, 16, 2, 2
+    x = np.random.default_rng(0).standard_normal((b, h, w, c)).astype(np.float32)
+    mod = SRAttention(num_heads=heads, sr_ratio=sr, qkv_bias=True, ln_eps=1e-6)
+    params = mod.init(RNG, jnp.asarray(x))["params"]
+    ours = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+    tx = torch.from_numpy(x)
+    q = _lin(tx.reshape(b, h * w, c), params["q"]).reshape(b, h * w, heads, c // heads)
+    # sr conv: flax kernel (kh, kw, cin, cout) -> torch (cout, cin, kh, kw)
+    wsr = _t(params["sr"]["kernel"]).permute(3, 2, 0, 1)
+    kv_in = F.conv2d(tx.permute(0, 3, 1, 2), wsr, _t(params["sr"]["bias"]),
+                     stride=sr)
+    kv_in = kv_in.permute(0, 2, 3, 1)  # NHWC
+    kv_in = _ln(kv_in, params["sr_norm"], 1e-6)
+    m = kv_in.shape[1] * kv_in.shape[2]
+    kv = _lin(kv_in.reshape(b, m, c), params["kv"]).reshape(b, m, 2, heads, c // heads)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    hd = c // heads
+    s = torch.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k)
+    p = torch.softmax(s, dim=-1)
+    o = torch.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, h * w, c)
+    ref = _lin(o, params["proj"]).reshape(b, h, w, c).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_mix_ffn_matches_torch():
+    b, h, w, c, hid = 2, 6, 5, 8, 32
+    x = np.random.default_rng(1).standard_normal((b, h, w, c)).astype(np.float32)
+    mod = MixFFN(hidden=hid)
+    params = mod.init(RNG, jnp.asarray(x))["params"]
+    ours = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+    tx = torch.from_numpy(x)
+    y = _lin(tx, params["fc1"])
+    # depthwise conv: flax kernel (3, 3, 1, hid) with groups=hid ->
+    # torch (hid, 1, 3, 3)
+    wd = _t(params["dwconv"]["kernel"]).permute(3, 2, 0, 1)
+    y = F.conv2d(y.permute(0, 3, 1, 2), wd, _t(params["dwconv"]["bias"]),
+                 padding=1, groups=hid).permute(0, 2, 3, 1)
+    y = F.gelu(y)  # erf gelu, same as flax approximate=False at f32
+    ref = _lin(y, params["fc2"]).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_window_attention_matches_torch(use_mask):
+    wsz, heads, c = 4, 2, 16
+    nw, n = 4, wsz * wsz  # 4 windows of 4x4
+    bn = 2 * nw
+    x = np.random.default_rng(2).standard_normal((bn, n, c)).astype(np.float32)
+    mask_np = (
+        _shift_mask(8, 8, wsz, wsz // 2, 7, 8) if use_mask else None
+    )
+    mod = WindowAttention(num_heads=heads, window=wsz, qkv_bias=True)
+    params = mod.init(
+        RNG, jnp.asarray(x), jnp.asarray(mask_np) if use_mask else None
+    )["params"]
+    ours = np.asarray(mod.apply(
+        {"params": params}, jnp.asarray(x),
+        jnp.asarray(mask_np) if use_mask else None,
+    ))
+
+    tx = torch.from_numpy(x)
+    hd = c // heads
+    qkv = _lin(tx, params["qkv"]).reshape(bn, n, 3, heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = torch.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k)
+    table = _t(params["rel_pos_bias"])  # ((2w-1)^2, heads)
+    bias = table[torch.from_numpy(_rel_pos_index(wsz)).long()]  # (n, n, h)
+    s = s + bias.permute(2, 0, 1)[None]
+    if use_mask:
+        tm = torch.from_numpy(mask_np)
+        s = s.reshape(bn // nw, nw, heads, n, n) + tm[None, :, None]
+        s = s.reshape(bn, heads, n, n)
+    p = torch.softmax(s, dim=-1)
+    o = torch.einsum("bhqk,bkhd->bqhd", p, v).reshape(bn, n, c)
+    ref = _lin(o, params["proj"]).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_patch_merging_matches_mmcv_unfold():
+    b, h, w, c = 2, 6, 8, 5
+    x = np.random.default_rng(3).standard_normal((b, h, w, c)).astype(np.float32)
+    mod = PatchMerging(ln_eps=1e-5)
+    params = mod.init(RNG, jnp.asarray(x))["params"]
+    ours = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+    # mmcv PatchMerging: nn.Unfold(2, stride 2) -> (B, 4C, L) channel-major
+    # features -> transpose -> LN -> Linear(4C -> 2C, no bias)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    cols = F.unfold(tx, kernel_size=2, stride=2)  # (B, C*4, L)
+    cols = cols.transpose(1, 2).reshape(b, h // 2, w // 2, 4 * c)
+    y = _ln(cols, params["norm"], 1e-5)
+    ref = F.linear(y, _t(params["reduction"]["kernel"]).T).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
