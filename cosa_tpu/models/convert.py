@@ -177,6 +177,107 @@ def encoder_params_from_augreg_npz(path: str, depth: int = 12) -> Dict:
     return p
 
 
+def swin_params_from_mmseg(sd: Dict[str, Any], depths) -> Dict:
+    """SwinBackbone subtree from an mmseg/mmcv Swin checkpoint (the weights
+    the reference's MMSWIN/MMSegModel wrappers load; module structure
+    vendored at models/mmsegmodel/__init__.py:176-320). Accepts keys with or
+    without the mmseg ``backbone.`` prefix.
+
+    Key map (mmseg -> flax):
+      patch_embed.projection (C,3,p,p)            -> patch_embed (p,p,3,C)
+      patch_embed.norm                            -> patch_norm
+      stages.I.blocks.J.attn.w_msa.{qkv,proj}     -> stageI_blockJ/attn/{qkv,proj}
+      ...attn.w_msa.relative_position_bias_table  -> .../attn/rel_pos_bias
+      ...ffn.layers.0.0 / ffn.layers.1            -> .../fc1 / fc2
+      stages.I.downsample.{norm,reduction}        -> mergeI/{norm,reduction}
+      normI                                       -> normI
+    (relative_position_index is not copied — it is a deterministic constant
+    our WindowAttention recomputes with the same standard Swin formula.)"""
+    if any(k.startswith("backbone.") for k in sd):
+        sd = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+    ln = lambda k: {"scale": _t(sd[k + ".weight"]), "bias": _t(sd[k + ".bias"])}
+    lin = lambda k: {"kernel": _t(sd[k + ".weight"]).T,
+                     **({"bias": _t(sd[k + ".bias"])} if k + ".bias" in sd else {})}
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.projection.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.projection.bias"]),
+        },
+        "patch_norm": ln("patch_embed.norm"),
+    }
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            b = f"stages.{si}.blocks.{bi}."
+            p[f"stage{si}_block{bi}"] = {
+                "norm1": ln(b + "norm1"),
+                "norm2": ln(b + "norm2"),
+                "attn": {
+                    "qkv": lin(b + "attn.w_msa.qkv"),
+                    "proj": lin(b + "attn.w_msa.proj"),
+                    "rel_pos_bias": _t(
+                        sd[b + "attn.w_msa.relative_position_bias_table"]),
+                },
+                "fc1": lin(b + "ffn.layers.0.0"),
+                "fc2": lin(b + "ffn.layers.1"),
+            }
+        if f"stages.{si}.downsample.reduction.weight" in sd:
+            p[f"merge{si}"] = {
+                "norm": ln(f"stages.{si}.downsample.norm"),
+                "reduction": lin(f"stages.{si}.downsample.reduction"),
+            }
+        if f"norm{si}.weight" in sd:
+            p[f"norm{si}"] = ln(f"norm{si}")
+    return p
+
+
+def mit_params_from_torch(sd: Dict[str, Any], depths) -> Dict:
+    """MixVisionTransformer subtree from an official SegFormer (NVlabs)
+    checkpoint — the exact module the reference vendors at
+    models/vit/mix_transformer.py:18-378.
+
+    Key map (torch -> flax), stages s = 1..4:
+      patch_embed{s}.proj (conv)          -> patch_embed{s}
+      patch_embed{s}.norm                 -> patch_norm{s}
+      block{s}.J.attn.{q,kv,proj}         -> block{s}_J/attn/{q,kv,proj}
+      block{s}.J.attn.sr (conv) + .norm   -> .../attn/{sr,sr_norm}
+      block{s}.J.mlp.fc1 / dwconv.dwconv / fc2 -> .../mlp/{fc1,dwconv,fc2}
+      norm{s}                             -> norm{s}
+    DWConv weight (hid,1,3,3) -> (3,3,1,hid)."""
+    ln = lambda k: {"scale": _t(sd[k + ".weight"]), "bias": _t(sd[k + ".bias"])}
+    lin = lambda k: {"kernel": _t(sd[k + ".weight"]).T,
+                     **({"bias": _t(sd[k + ".bias"])} if k + ".bias" in sd else {})}
+    conv = lambda k: {"kernel": _t(sd[k + ".weight"]).transpose(2, 3, 1, 0),
+                      "bias": _t(sd[k + ".bias"])}
+    p: Dict[str, Any] = {}
+    for si, depth in enumerate(depths):
+        s = si + 1
+        p[f"patch_embed{s}"] = conv(f"patch_embed{s}.proj")
+        p[f"patch_norm{s}"] = ln(f"patch_embed{s}.norm")
+        for bi in range(depth):
+            b = f"block{s}.{bi}."
+            attn: Dict[str, Any] = {
+                "q": lin(b + "attn.q"),
+                "kv": lin(b + "attn.kv"),
+                "proj": lin(b + "attn.proj"),
+            }
+            if b + "attn.sr.weight" in sd:
+                attn["sr"] = conv(b + "attn.sr")
+                attn["sr_norm"] = ln(b + "attn.norm")
+            p[f"block{s}_{bi}"] = {
+                "norm1": ln(b + "norm1"),
+                "norm2": ln(b + "norm2"),
+                "attn": attn,
+                "mlp": {
+                    "fc1": lin(b + "mlp.fc1"),
+                    "dwconv": conv(b + "mlp.dwconv.dwconv"),
+                    "fc2": lin(b + "mlp.fc2"),
+                },
+            }
+        p[f"norm{s}"] = ln(f"norm{s}")
+    return p
+
+
 def _merge(dst: Dict, src: Dict) -> Dict:
     out = dict(dst)
     for k, v in src.items():
@@ -187,21 +288,56 @@ def _merge(dst: Dict, src: Dict) -> Dict:
     return out
 
 
+def _filter_to(dst: Dict, src: Dict) -> Dict:
+    """Drop overlay keys the model tree does not have (e.g. mmseg Swin
+    checkpoints carry all four stage-exit norms while SwinNetwork only
+    builds norm3) — the torch equivalent of load_state_dict(strict=False)."""
+    out = {}
+    for k, v in src.items():
+        if k not in dst:
+            continue
+        out[k] = (
+            _filter_to(dst[k], v)
+            if isinstance(v, dict) and isinstance(dst[k], dict)
+            else v
+        )
+    return out
+
+
 def load_pretrained_into_state(cfg, state):
     """Overlay a checkpoint (torch .pth or original-ViT .npz) on student AND
     teacher (both reference networks are built with the same pretrained
-    backbone, main.py:45-46)."""
-    from cosa_tpu.models.vit import BACKBONES
+    backbone, main.py:45-46). Zoo families load their upstream formats:
+    'swinend2end' takes an mmseg/mmcv Swin checkpoint, 'segformer' an
+    official SegFormer (NVlabs) one."""
+    model = getattr(cfg, "model", "vit")
+    if model == "swinend2end":
+        from cosa_tpu.models.zoo.swin import SWIN_CONFIGS
 
-    depth = BACKBONES[cfg.backbone].depth
-    if cfg.pretrained_path.endswith(".npz"):
+        sd = load_torch_checkpoint(cfg.pretrained_path)
+        overlay = {"backbone": swin_params_from_mmseg(
+            sd, SWIN_CONFIGS[cfg.backbone].depths)}
+    elif model == "segformer":
+        from cosa_tpu.models.zoo.mit import MIT_CONFIGS
+
+        sd = load_torch_checkpoint(cfg.pretrained_path)
+        overlay = {"encoder": mit_params_from_torch(
+            sd, MIT_CONFIGS[cfg.backbone].depths)}
+    elif cfg.pretrained_path.endswith(".npz"):
+        from cosa_tpu.models.vit import BACKBONES
+
+        depth = BACKBONES[cfg.backbone].depth
         overlay = {"encoder": encoder_params_from_augreg_npz(cfg.pretrained_path, depth)}
     else:
+        from cosa_tpu.models.vit import BACKBONES
+
+        depth = BACKBONES[cfg.backbone].depth
         sd = load_torch_checkpoint(cfg.pretrained_path)
         if any(k.startswith("encoder.") for k in sd.keys()):
             overlay = network_params_from_torch(sd, depth)
         else:
             overlay = {"encoder": encoder_params_from_torch(sd, depth)}
+    overlay = _filter_to(state.student, overlay)
     new_student = _merge(state.student, overlay)
     new_teacher = _merge(state.teacher, overlay)
     return state.replace(student=new_student, teacher=new_teacher)

@@ -119,6 +119,183 @@ def test_window_attention_matches_torch(use_mask):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
 
 
+def _shapes(tree):
+    return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
+
+
+def test_swin_mmseg_checkpoint_converts():
+    from cosa_tpu.models.convert import swin_params_from_mmseg
+    from cosa_tpu.models.zoo.swin import SWIN_CONFIGS, SwinBackbone
+
+    cfg = SWIN_CONFIGS["swin_tiny_test"]
+    model = SwinBackbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ref = model.init(RNG, x)["params"]
+
+    rng = np.random.default_rng(0)
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype(np.float32))
+    d, w = cfg.embed_dim, cfg.window
+    sd = {
+        "backbone.patch_embed.projection.weight": t(d, 3, 4, 4),
+        "backbone.patch_embed.projection.bias": t(d),
+        "backbone.patch_embed.norm.weight": t(d),
+        "backbone.patch_embed.norm.bias": t(d),
+    }
+    c = d
+    for si, depth in enumerate(cfg.depths):
+        for bi in range(depth):
+            b = f"backbone.stages.{si}.blocks.{bi}."
+            sd.update({
+                b + "norm1.weight": t(c), b + "norm1.bias": t(c),
+                b + "norm2.weight": t(c), b + "norm2.bias": t(c),
+                b + "attn.w_msa.qkv.weight": t(3 * c, c),
+                b + "attn.w_msa.qkv.bias": t(3 * c),
+                b + "attn.w_msa.proj.weight": t(c, c),
+                b + "attn.w_msa.proj.bias": t(c),
+                b + "attn.w_msa.relative_position_bias_table":
+                    t((2 * w - 1) ** 2, cfg.num_heads[si]),
+                b + "ffn.layers.0.0.weight": t(4 * c, c),
+                b + "ffn.layers.0.0.bias": t(4 * c),
+                b + "ffn.layers.1.weight": t(c, 4 * c),
+                b + "ffn.layers.1.bias": t(c),
+            })
+        sd[f"backbone.norm{si}.weight"] = t(c)
+        sd[f"backbone.norm{si}.bias"] = t(c)
+        if si < 3:
+            sd.update({
+                f"backbone.stages.{si}.downsample.norm.weight": t(4 * c),
+                f"backbone.stages.{si}.downsample.norm.bias": t(4 * c),
+                f"backbone.stages.{si}.downsample.reduction.weight": t(2 * c, 4 * c),
+            })
+            c *= 2
+    conv = swin_params_from_mmseg(sd, cfg.depths)
+    assert _shapes(ref) == _shapes(conv)
+    outs, blocks = model.apply({"params": conv}, x)
+    assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_mit_segformer_checkpoint_converts():
+    from cosa_tpu.models.convert import mit_params_from_torch
+    from cosa_tpu.models.zoo.mit import MIT_CONFIGS, MixVisionTransformer
+
+    cfg = MIT_CONFIGS["mit_tiny_test"]
+    model = MixVisionTransformer(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ref = model.init(RNG, x)["params"]
+
+    rng = np.random.default_rng(0)
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype(np.float32))
+    sd = {}
+    cin = 3
+    for si, depth in enumerate(cfg.depths):
+        s, c = si + 1, cfg.embed_dims[si]
+        patch = 7 if si == 0 else 3
+        sd.update({
+            f"patch_embed{s}.proj.weight": t(c, cin, patch, patch),
+            f"patch_embed{s}.proj.bias": t(c),
+            f"patch_embed{s}.norm.weight": t(c),
+            f"patch_embed{s}.norm.bias": t(c),
+            f"norm{s}.weight": t(c), f"norm{s}.bias": t(c),
+        })
+        cin = c
+        hid = c * cfg.mlp_ratios[si]
+        for bi in range(depth):
+            b = f"block{s}.{bi}."
+            sd.update({
+                b + "norm1.weight": t(c), b + "norm1.bias": t(c),
+                b + "norm2.weight": t(c), b + "norm2.bias": t(c),
+                b + "attn.q.weight": t(c, c), b + "attn.q.bias": t(c),
+                b + "attn.kv.weight": t(2 * c, c), b + "attn.kv.bias": t(2 * c),
+                b + "attn.proj.weight": t(c, c), b + "attn.proj.bias": t(c),
+                b + "mlp.fc1.weight": t(hid, c), b + "mlp.fc1.bias": t(hid),
+                b + "mlp.dwconv.dwconv.weight": t(hid, 1, 3, 3),
+                b + "mlp.dwconv.dwconv.bias": t(hid),
+                b + "mlp.fc2.weight": t(c, hid), b + "mlp.fc2.bias": t(c),
+            })
+            if cfg.sr_ratios[si] > 1:
+                sd.update({
+                    b + "attn.sr.weight": t(c, c, cfg.sr_ratios[si], cfg.sr_ratios[si]),
+                    b + "attn.sr.bias": t(c),
+                    b + "attn.norm.weight": t(c), b + "attn.norm.bias": t(c),
+                })
+    conv = mit_params_from_torch(sd, cfg.depths)
+    assert _shapes(ref) == _shapes(conv)
+    outs = model.apply({"params": conv}, x)
+    assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_swin_pretrained_load_into_state():
+    """load_pretrained_into_state routes 'swinend2end' checkpoints through
+    swin_params_from_mmseg, drops the stage norms SwinNetwork doesn't build
+    (strict=False semantics), and overlays student AND teacher."""
+    import os
+    import tempfile
+
+    from cosa_tpu.config import preset_config
+    from cosa_tpu.models import build_model
+    from cosa_tpu.models.convert import load_pretrained_into_state
+    from cosa_tpu.models.zoo.swin import SWIN_CONFIGS
+    from cosa_tpu.train import create_train_state
+
+    scfg = SWIN_CONFIGS["swin_tiny_test"]
+    rng = np.random.default_rng(7)
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype(np.float32))
+    d, w = scfg.embed_dim, scfg.window
+    sd = {
+        "backbone.patch_embed.projection.weight": t(d, 3, 4, 4),
+        "backbone.patch_embed.projection.bias": t(d),
+        "backbone.patch_embed.norm.weight": t(d),
+        "backbone.patch_embed.norm.bias": t(d),
+    }
+    c = d
+    for si, depth in enumerate(scfg.depths):
+        for bi in range(depth):
+            b = f"backbone.stages.{si}.blocks.{bi}."
+            sd.update({
+                b + "norm1.weight": t(c), b + "norm1.bias": t(c),
+                b + "norm2.weight": t(c), b + "norm2.bias": t(c),
+                b + "attn.w_msa.qkv.weight": t(3 * c, c),
+                b + "attn.w_msa.qkv.bias": t(3 * c),
+                b + "attn.w_msa.proj.weight": t(c, c),
+                b + "attn.w_msa.proj.bias": t(c),
+                b + "attn.w_msa.relative_position_bias_table":
+                    t((2 * w - 1) ** 2, scfg.num_heads[si]),
+                b + "ffn.layers.0.0.weight": t(4 * c, c),
+                b + "ffn.layers.0.0.bias": t(4 * c),
+                b + "ffn.layers.1.weight": t(c, 4 * c),
+                b + "ffn.layers.1.bias": t(c),
+            })
+        sd[f"backbone.norm{si}.weight"] = t(c)
+        sd[f"backbone.norm{si}.bias"] = t(c)
+        if si < 3:
+            sd.update({
+                f"backbone.stages.{si}.downsample.norm.weight": t(4 * c),
+                f"backbone.stages.{si}.downsample.norm.bias": t(4 * c),
+                f"backbone.stages.{si}.downsample.reduction.weight": t(2 * c, 4 * c),
+            })
+            c *= 2
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "swin.pth")
+        torch.save(sd, path)
+        cfg = preset_config(
+            "synthetic", model="swinend2end", backbone="swin_tiny_test",
+            mixed_precision=False, pretrained_path=path, batch_size=1,
+        )
+        model = build_model(cfg)
+        state = create_train_state(cfg, model, 1)
+        state = load_pretrained_into_state(cfg, state)
+
+    got = np.asarray(
+        state.student["backbone"]["stage1_block0"]["attn"]["qkv"]["kernel"])
+    want = sd["backbone.stages.1.blocks.0.attn.w_msa.qkv.weight"].numpy().T
+    np.testing.assert_allclose(got, want, atol=0)
+    # teacher gets the same overlay
+    np.testing.assert_allclose(
+        np.asarray(state.teacher["backbone"]["patch_norm"]["scale"]),
+        sd["backbone.patch_embed.norm.weight"].numpy(), atol=0)
+
+
 def test_patch_merging_matches_mmcv_unfold():
     b, h, w, c = 2, 6, 8, 5
     x = np.random.default_rng(3).standard_normal((b, h, w, c)).astype(np.float32)
