@@ -119,6 +119,39 @@ def test_window_attention_matches_torch(use_mask):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("hw,s", [((7, 5), 1), ((7, 5), 2), ((9, 11), 3),
+                                  ((6, 6), 6), ((2, 2), 3), ((5, 4), 6)])
+def test_adaptive_avg_pool_matches_torch(hw, s):
+    """Exact F.adaptive_avg_pool2d parity for the UPerHead PPM, including
+    output grids LARGER than the input (the mmseg swin-at-tiny-grid case
+    that NaN'd the earlier floor-divide pooling)."""
+    from cosa_tpu.models.zoo.mmseg import adaptive_avg_pool
+
+    x = np.random.default_rng(0).standard_normal((2, *hw, 3)).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), s))
+    ref = F.adaptive_avg_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), s
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (9, 7), (17, 17), (10, 13)])
+@pytest.mark.parametrize("ceil", [True, False])
+def test_max_pool_modes_match_torch(h, w, ceil):
+    """The zoo stems' 3x3/s2/p1 max pools vs torch MaxPool2d in both
+    rounding modes (MSRA DeepLab stem is ceil_mode=True,
+    deeplabs/resnet.py:110; BECO/VGG trunks are floor-mode default)."""
+    from cosa_tpu.models.zoo.resnet import max_pool_ceil, max_pool_floor
+
+    x = np.random.default_rng(0).standard_normal((2, h, w, 3)).astype(np.float32)
+    fn = max_pool_ceil if ceil else max_pool_floor
+    ours = np.asarray(fn(jnp.asarray(x), 3, 2, 1))
+    ref = F.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3, 2, 1, ceil_mode=ceil
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
 def _shapes(tree):
     return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
 
