@@ -152,6 +152,40 @@ def test_max_pool_modes_match_torch(h, w, ceil):
     np.testing.assert_allclose(ours, ref, atol=0)
 
 
+@pytest.mark.parametrize("train", [False, True])
+def test_msra_bottleneck_matches_torch(train):
+    """One MSRA bottleneck (stride-on-reduce, dilated 3x3) vs a torch
+    conv/BN/ReLU chain built from the same params, in eval AND train mode
+    (batch-stats normalization)."""
+    from cosa_tpu.models.zoo.resnet import MSRABottleneck
+
+    b, h, w, cin, cout = 2, 9, 7, 8, 16
+    x = np.random.default_rng(0).standard_normal((b, h, w, cin)).astype(np.float32)
+    mod = MSRABottleneck(out_ch=cout, stride=2, dilation=2, downsample=True)
+    vs = mod.init(RNG, jnp.asarray(x))
+    ours, _ = mod.apply(vs, jnp.asarray(x), train=train,
+                        mutable=["batch_stats"])
+    ours = np.asarray(ours)
+
+    def convbn(tx, p, bs, stride, pad, dil, relu):
+        wt = _t(p["conv"]["kernel"]).permute(3, 2, 0, 1)
+        y = F.conv2d(tx, wt, None, stride=stride, padding=pad, dilation=dil)
+        y = F.batch_norm(
+            y, _t(bs["bn"]["mean"]), _t(bs["bn"]["var"]),
+            _t(p["bn"]["scale"]), _t(p["bn"]["bias"]),
+            training=train, eps=1e-5)
+        return F.relu(y) if relu else y
+
+    p, bs = vs["params"], vs["batch_stats"]
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    hmid = convbn(tx, p["reduce"], bs["reduce"], 2, 0, 1, True)
+    hmid = convbn(hmid, p["conv3x3"], bs["conv3x3"], 1, 2, 2, True)
+    hmid = convbn(hmid, p["increase"], bs["increase"], 1, 0, 1, False)
+    sc = convbn(tx, p["shortcut"], bs["shortcut"], 2, 0, 1, False)
+    ref = F.relu(hmid + sc).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
 def _shapes(tree):
     return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
 
