@@ -145,12 +145,13 @@ def avg_pool2d(img: np.ndarray, ksize: int) -> np.ndarray:
 
 
 def rescale_nearest(npimg: np.ndarray, scale: float) -> np.ndarray:
-    """imutils RescaleNearest (:297-304, cv2.INTER_NEAREST)."""
+    """imutils RescaleNearest (:297-304, cv2.INTER_NEAREST): source index
+    floor(i / scale) — cv2's nearest has no half-pixel-center shift
+    (verified: 4x4 arange at scale 0.5 -> [[0, 2], [8, 10]])."""
     h, w = npimg.shape[:2]
     new_w, new_h = int(w * scale), int(h * scale)
-    # cv2 nearest picks source index floor((i + 0.5) / scale)
-    ys = np.minimum((np.arange(new_h) + 0.5) / scale, h - 1).astype(np.int64)
-    xs = np.minimum((np.arange(new_w) + 0.5) / scale, w - 1).astype(np.int64)
+    ys = np.minimum(np.arange(new_h) / scale, h - 1).astype(np.int64)
+    xs = np.minimum(np.arange(new_w) / scale, w - 1).astype(np.int64)
     return npimg[ys][:, xs]
 
 
@@ -211,24 +212,29 @@ def _meanfield(img: np.ndarray, unary_probs: np.ndarray, t: int,
             return lattice_gaussian_cpu(
                 feats, qmap.reshape(h * w, -1)).reshape(h, w, -1)
     except Exception:
+        # exact O((HW)^2) fallback: build the kernel ONCE, reuse per message
         f = feats.reshape(h * w, 5)
+        kmat = np.exp(-0.5 * np.square(f[:, None, :] - f[None, :, :]).sum(-1))
 
         def bilateral(qmap):
-            k = np.exp(-0.5 * np.square(
-                f[:, None, :] - f[None, :, :]).sum(-1))
-            return (k @ qmap.reshape(h * w, -1)).reshape(h, w, -1)
+            return (kmat @ qmap.reshape(h * w, -1)).reshape(h, w, -1)
 
-    def normalized(filter_fn, q):
+    def spatial(qmap):
+        return _np_spatial_filter(qmap, pos_xy)
+
+    def make_normalized(filter_fn):
+        # the filter(1) normalization is loop-invariant — hoist it
         norm = filter_fn(np.ones((h, w, 1), np.float32))
         inv = np.where(norm > 1e-20, 1.0 / np.sqrt(norm), 0.0)
-        return filter_fn(q * inv) * inv
+        return lambda q: filter_fn(q * inv) * inv
+
+    spatial_n = make_normalized(spatial)
+    bilateral_n = make_normalized(bilateral)
 
     log_p = np.log(np.clip(unary_probs, 1e-8, 1.0))
     q = unary_probs.astype(np.float32)
     for _ in range(int(t)):
-        m_pos = normalized(lambda x: _np_spatial_filter(x, pos_xy), q)
-        m_bi = normalized(bilateral, q)
-        logits = log_p + pos_w * m_pos + bi_w * m_bi
+        logits = log_p + pos_w * spatial_n(q) + bi_w * bilateral_n(q)
         logits -= logits.max(axis=-1, keepdims=True)
         e = np.exp(logits)
         q = e / e.sum(axis=-1, keepdims=True)

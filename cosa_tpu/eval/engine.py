@@ -257,6 +257,9 @@ def evaluate(
 ) -> Dict:
     """Returns {'CAM': score, 'aux_CAM': ..., 'Seg_ps': ..., 'Seg_vd': ...,
     'cls_aps': (mAP, mAP_aux), [thresholded pseudo scores], ['Seg_crf']}."""
+    from cosa_tpu.models.network import require_cosa_interface
+
+    require_cosa_interface(cfg)
     thresholds = tuple(threshold_filters or ())
     # pad to cover the largest val image (VOC <= 500, COCO <= 640)
     sizes = [500 if cfg.dataset == "VOC12" else 640]

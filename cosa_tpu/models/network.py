@@ -117,6 +117,21 @@ class CoSANetwork(nn.Module):
         )
 
 
+def require_cosa_interface(cfg) -> None:
+    """The co-training/eval pipelines need the full CoSA output dict
+    (cls/cls_aux/seg/cam/cam_aux). Only 'vit' and 'swinend2end' provide it;
+    the seg-only zoo families (res38/mmseg/segformer) are library-use only —
+    exactly the reference's status, where their factory branches are
+    commented out and main.py would TypeError on their single-tensor
+    forward. Fail loudly at the entry point instead of deep in the step."""
+    if cfg.model not in ("vit", "swinend2end"):
+        raise NotImplementedError(
+            f"model '{cfg.model}' is a seg-only zoo family (library use: "
+            "cosa_tpu.models.zoo); the co-training/eval pipelines require "
+            "the CoSA interface — use model 'vit' or 'swinend2end'"
+        )
+
+
 def build_model(cfg, quant: bool = False):
     """Model factory (reference models/__init__.py:13-79).
 

@@ -79,8 +79,16 @@ def _shift_mask(hp: int, wp: int, w: int, shift: int,
             for ws in slices:
                 ids[hs, ws] = cnt
                 cnt += 1
-    ids[h_valid:, :] = -1  # padding region: always masked as keys
-    ids[:, w_valid:] = -1
+    # padding keys: the canvas the windows are cut from is POST-roll (the
+    # region ids above are constructed in post-roll semantics, like the
+    # official Swin img_mask), so the pre-roll pad band [h_valid:, :] must
+    # be rolled by (-shift, -shift) along with the data before marking
+    pad = np.zeros((hp, wp), bool)
+    pad[h_valid:, :] = True
+    pad[:, w_valid:] = True
+    if shift > 0:
+        pad = np.roll(pad, (-shift, -shift), axis=(0, 1))
+    ids[pad] = -1  # padding region: always masked as keys
     win = ids.reshape(hp // w, w, wp // w, w).transpose(0, 2, 1, 3)
     win = win.reshape(-1, w * w)
     same = win[:, :, None] == win[:, None, :]
@@ -258,11 +266,16 @@ class SwinNetwork(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, detach: str = "none") -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, detach: str = "none",
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """``train=True`` activates the backbone's stochastic depth (the
+        reference MMSWIN trains with drop_path 0.1-0.3; torch .train() makes
+        DropPath live) — requires a 'dropout' rng. The teacher/eval path
+        stays at the deterministic default."""
         assert detach in ("all", "feat", "none", "cls")
         cfg = SWIN_CONFIGS[self.backbone]
         outs, blocks = SwinBackbone(cfg, (3,), self.dtype,
-                                    name="backbone")(x)
+                                    name="backbone")(x, train=train)
         fmap = outs[-1]
         fmap_aux = blocks[self.aux_layer]
         d, d_aux = fmap.shape[-1], fmap_aux.shape[-1]

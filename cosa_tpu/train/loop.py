@@ -25,7 +25,7 @@ from cosa_tpu.config import Config, diff_from_preset
 from cosa_tpu.data.loader import build_train_loader, build_val_dataset
 from cosa_tpu.eval.engine import evaluate
 from cosa_tpu.eval.metrics import compute_mAP
-from cosa_tpu.models import build_model
+from cosa_tpu.models import build_model, require_cosa_interface
 from cosa_tpu.parallel import batch_sharding, make_mesh, state_sharding
 from cosa_tpu.train import checkpoint as ckpt
 from cosa_tpu.train.optimizer import build_optimizer
@@ -46,6 +46,7 @@ def output_dir(cfg: Config) -> str:
 
 
 def train(cfg: Config, max_steps: Optional[int] = None) -> Dict:
+    require_cosa_interface(cfg)
     out_dir = output_dir(cfg)
     writer = MetricWriter(out_dir)
     writer.print(f"config diff vs {cfg.dataset} preset:", diff_from_preset(cfg))

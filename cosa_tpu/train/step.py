@@ -213,8 +213,20 @@ def build_train_step(
         )
 
         # ---- student loss -------------------------------------------------
+        # stochastic-depth rng for families that train with drop-path (the
+        # reference MMSWIN backbone, drop_path 0.1-0.3; torch .train() makes
+        # DropPath live on the student while the teacher stays eval)
+        student_kwargs = {}
+        if cfg.model == "swinend2end":
+            student_kwargs = dict(
+                train=True,
+                rngs={"dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), state.step)},
+            )
+
         def loss_fn(params):
-            out = model.apply({"params": params}, simg, detach=cfg.detach)
+            out = model.apply({"params": params}, simg, detach=cfg.detach,
+                              **student_kwargs)
             cls_loss = multilabel_soft_margin(out["cls"], cls_label)
             cls_aux_loss = multilabel_soft_margin(out["cls_aux"], cls_label)
 

@@ -339,7 +339,8 @@ def test_imutils_pool_rescale_scalecrop():
 
     x = np.arange(16, dtype=np.uint8).reshape(4, 4)
     half = imutils.rescale_nearest(x, 0.5)
-    assert half.shape == (2, 2)
+    # cv2.resize(x, None, fx=.5, fy=.5, INTER_NEAREST) ground truth
+    np.testing.assert_array_equal(half, [[0, 2], [8, 10]])
 
     rng = np.random.default_rng(0)
     pimg = Image.fromarray(

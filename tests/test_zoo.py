@@ -217,6 +217,44 @@ def test_deit_distilled_backbone_in_cosa_network():
     assert out_p["cam"].shape == out["cam"].shape
 
 
+def test_seg_only_models_rejected_at_pipeline_entry():
+    """Seg-only zoo families cannot co-train (neither can the reference's —
+    main.py would TypeError on their single-tensor forward); the pipeline
+    entry points must say so loudly instead of crashing deep in the step."""
+    import pytest
+
+    from cosa_tpu.eval.engine import evaluate
+    from cosa_tpu.models.network import require_cosa_interface
+    from cosa_tpu.train.loop import train
+
+    cfg = preset_config("synthetic", model="segformer", backbone="mit_tiny_test")
+    with pytest.raises(NotImplementedError, match="seg-only"):
+        train(cfg, max_steps=1)
+    with pytest.raises(NotImplementedError, match="seg-only"):
+        evaluate(cfg, None, None, None)
+    require_cosa_interface(preset_config("synthetic"))  # vit passes
+
+
+def test_swin_drop_path_active_in_train_mode():
+    """Stochastic depth must be LIVE under train=True (the reference MMSWIN
+    trains with drop_path 0.1-0.3) and deterministic otherwise."""
+    import dataclasses
+
+    from cosa_tpu.models.zoo.swin import SWIN_CONFIGS, SwinBackbone
+
+    cfg = dataclasses.replace(SWIN_CONFIGS["swin_tiny_test"], drop_path_rate=0.5)
+    net = SwinBackbone(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    vs = net.init({"params": RNG}, x)
+    outs1, _ = net.apply(vs, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    outs2, _ = net.apply(vs, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(outs1[-1]), np.asarray(outs2[-1]))
+    det1, _ = net.apply(vs, x)
+    det2, _ = net.apply(vs, x)
+    np.testing.assert_array_equal(np.asarray(det1[-1]), np.asarray(det2[-1]))
+
+
 def test_zoo_factory_dispatch():
     for model, backbone, cls in [
         ("res38", "res38", WRN38Seg),

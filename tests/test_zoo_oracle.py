@@ -186,6 +186,52 @@ def test_msra_bottleneck_matches_torch(train):
     np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("hh,ww,shift", [(7, 8, 2), (7, 7, 2), (8, 8, 2),
+                                         (5, 6, 2), (7, 8, 0)])
+def test_shift_mask_pad_and_region_oracle(hh, ww, shift):
+    """_shift_mask ground truth from first principles: the window canvas is
+    POST-roll, where position (i, j) holds pre-roll token ((i+shift)%hp,
+    (j+shift)%wp). Every pad token must be masked as a key for every query;
+    every valid (query, key) pair in the same shift region must be open."""
+    from cosa_tpu.models.zoo.swin import _shift_mask
+
+    w = 4
+    hp, wp = -(-hh // w) * w, -(-ww // w) * w
+    mask = _shift_mask(hp, wp, w, shift, hh, ww)
+
+    # oracle: post-roll pad flags and region ids per position
+    def preroll(i, j):
+        return (i + shift) % hp, (j + shift) % wp
+
+    def region(i, j):  # official Swin region id of POST-roll position
+        def band(x, n):
+            if x < n - w:
+                return 0
+            return 1 if x < n - shift else 2
+        if shift == 0:
+            return 0
+        return band(i, hp) * 3 + band(j, wp)
+
+    nwh, nww = hp // w, wp // w
+    for wi in range(nwh * nww):
+        wy, wx = divmod(wi, nww)
+        cells = [(wy * w + a, wx * w + b) for a in range(w) for b in range(w)]
+        for qi, (qy, qx) in enumerate(cells):
+            py, px = preroll(qy, qx)
+            q_pad = py >= hh or px >= ww
+            for ki, (ky, kx) in enumerate(cells):
+                ky0, kx0 = preroll(ky, kx)
+                k_pad = ky0 >= hh or kx0 >= ww
+                open_ = mask[wi, qi, ki] == 0
+                if k_pad:
+                    assert not open_, (wi, qi, ki, "pad key attendable")
+                elif not q_pad:
+                    want = region(qy, qx) == region(ky, kx)
+                    assert open_ == want, (wi, qi, ki, "region mismatch")
+            if not q_pad:  # a valid query must keep at least itself
+                assert mask[wi, qi, qi] == 0
+
+
 def _shapes(tree):
     return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
 
