@@ -140,15 +140,19 @@ class COCOBase(_BaseDataset):
 
 
 class _LabelDict:
-    """Image-level one-hot labels: from the shipped dict for VOC
-    (splits/voc/cls_labels_onehot.npy) or mask-derived lazily for COCO."""
+    """Image-level one-hot labels from the split dir's cls_labels_onehot.npy
+    (the reference loads this dict for BOTH datasets: voc.py:41, coco.py:22).
+    The reference's COCO copy is a missing large blob in this environment, so
+    when the file is absent the labels are derived lazily from the masks —
+    the same information the blob encodes."""
 
     def __init__(self, base: _BaseDataset):
         self.base = base
         self.table: Dict[str, np.ndarray] = {}
-        if base.dataset == "VOC12":
-            sdir = getattr(base, "split_dir", _SPLIT_DIR)
-            path = os.path.join(sdir, "voc", "cls_labels_onehot.npy")
+        sdir = getattr(base, "split_dir", _SPLIT_DIR)
+        sub = "voc" if base.dataset == "VOC12" else "coco"
+        path = os.path.join(sdir, sub, "cls_labels_onehot.npy")
+        if base.dataset == "VOC12" or os.path.exists(path):
             self.table = np.load(path, allow_pickle=True).item()
 
     def __call__(self, name: str, idx: int) -> np.ndarray:

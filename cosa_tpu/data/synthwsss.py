@@ -11,6 +11,13 @@ in the exact VOC12 on-disk layout ({root}/JPEGImages/*.jpg,
 so a training run exercises the UNMODIFIED VOC pipeline: ClsTrainDataset
 augmentation, the co-training step, GMM thresholds, eval TTA, CRF — all of it.
 
+A COCO-shaped variant (layout="coco", round 4) writes the reference's COCO
+on-disk layout (train2014/val2014, SegmentationClass/val2014, train/val/
+val_part splits, the coco cls_labels_onehot.npy dict of coco.py:22) with
+80 fg classes = 20 hues x 4 texture families, so the 81-class COCO pipeline
+(args_coco.py presets, val_part during-training eval) is exercised end to
+end too.
+
 Task design (solvable under image-level supervision, from-scratch ViT):
   * 20 foreground classes = 10 hues x 2 texture families (stripes / dots).
     Hue carries most of the class signal (36 deg spacing, +-9 deg jitter);
@@ -43,13 +50,27 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 N_HUES = 10
-N_TEXTURES = 2  # 0 = stripes, 1 = dots
+N_TEXTURES = 2  # 0 = stripes, 1 = dots (VOC-shaped default)
 N_FG = N_HUES * N_TEXTURES  # 20 fg classes -> num_classes=21 with background
 SHAPES = ("circle", "ellipse", "rect", "diamond", "triangle", "star", "ring")
+TEXTURE_NAMES = ("stripes", "dots", "checker", "rings")
+
+# COCO-shaped variant: 20 hues x 4 texture families = 80 fg classes
+# -> num_classes=81, matching the reference's COCO head
+# (args_coco.py num_classes; dataloaders/coco.py class_list).
+COCO_N_HUES = 20
+COCO_N_TEXTURES = 4
 
 CLASS_NAMES = ["_background_"] + [
     f"hue{h:02d}_{tex}" for tex in ("stripes", "dots") for h in range(N_HUES)
 ]
+
+
+def class_names(n_hues: int = N_HUES, n_textures: int = N_TEXTURES):
+    return ["_background_"] + [
+        f"hue{h:02d}_{TEXTURE_NAMES[t]}"
+        for t in range(n_textures) for h in range(n_hues)
+    ]
 
 
 def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -119,14 +140,28 @@ def _texture_mod(tex: int, u: np.ndarray, v: np.ndarray, period: float,
         t = np.sin(2 * np.pi * (u * np.cos(psi) + v * np.sin(psi)) / period
                    + phase)
         return 1.0 + strength * t
-    # dots: dark discs on a rotated square lattice
-    a = (u * np.cos(psi) + v * np.sin(psi)) / period + phase
-    b = (-u * np.sin(psi) + v * np.cos(psi)) / period
-    da = a - np.round(a)
-    db = b - np.round(b)
-    d = np.sqrt(da * da + db * db)  # 0 at lattice points, ~0.7 max
-    inside = np.clip((0.30 - d) / 0.08, 0.0, 1.0)  # soft disc of radius .3
-    return 1.0 - 2.0 * strength * inside
+    if tex == 1:
+        # dots: dark discs on a rotated square lattice
+        a = (u * np.cos(psi) + v * np.sin(psi)) / period + phase
+        b = (-u * np.sin(psi) + v * np.cos(psi)) / period
+        da = a - np.round(a)
+        db = b - np.round(b)
+        d = np.sqrt(da * da + db * db)  # 0 at lattice points, ~0.7 max
+        inside = np.clip((0.30 - d) / 0.08, 0.0, 1.0)  # soft disc of radius .3
+        return 1.0 - 2.0 * strength * inside
+    if tex == 2:
+        # checker: smooth product of two orthogonal sinusoids (sign pattern)
+        a = (u * np.cos(psi) + v * np.sin(psi)) / period + phase
+        b = (-u * np.sin(psi) + v * np.cos(psi)) / period
+        t = np.sin(2 * np.pi * a) * np.sin(2 * np.pi * b)
+        return 1.0 + 1.4 * strength * t
+    if tex == 3:
+        # rings: concentric bands around the instance center
+        # (rotation-invariant; psi unused, phase shifts the radial bands)
+        rho = np.sqrt(u * u + v * v)
+        t = np.sin(2 * np.pi * rho / period + 2 * np.pi * phase)
+        return 1.0 + strength * t
+    raise ValueError(tex)
 
 
 def _paint(img: np.ndarray, alpha: np.ndarray, rgb: np.ndarray) -> None:
@@ -154,7 +189,8 @@ def _lowres_noise(rng: np.random.Generator, h: int, w: int, cells: int = 9
 
 def _draw_object(rng: np.random.Generator, img: np.ndarray,
                  mask: Optional[np.ndarray], class_id: int,
-                 foreground: bool) -> None:
+                 foreground: bool, n_hues: int = N_HUES,
+                 n_textures: int = N_TEXTURES) -> None:
     """Render one shape instance into img (and mask when foreground)."""
     h, w = img.shape[:2]
     short = min(h, w)
@@ -176,13 +212,13 @@ def _draw_object(rng: np.random.Generator, img: np.ndarray,
     alpha = np.clip(0.5 - d * min(ry, rx) / 1.5, 0.0, 1.0)  # ~1.5px AA edge
 
     if foreground:
-        hue_idx = (class_id - 1) % N_HUES
-        tex = (class_id - 1) // N_HUES
-        hue = (hue_idx + rng.uniform(-0.25, 0.25)) / N_HUES
+        hue_idx = (class_id - 1) % n_hues
+        tex = (class_id - 1) // n_hues
+        hue = (hue_idx + rng.uniform(-0.25, 0.25)) / n_hues
         sat = rng.uniform(0.65, 0.95)
         val = rng.uniform(0.5, 0.9)
     else:  # distractor: same shapes/textures, but (near-)achromatic
-        tex = int(rng.integers(N_TEXTURES))
+        tex = int(rng.integers(n_textures))
         hue = rng.uniform(0, 1)
         sat = rng.uniform(0.0, 0.15)
         val = rng.uniform(0.25, 0.85)
@@ -198,9 +234,14 @@ def _draw_object(rng: np.random.Generator, img: np.ndarray,
 
 
 def render_sample(seed: int, idx: int,
-                  size_range: Tuple[int, int] = (352, 512)
+                  size_range: Tuple[int, int] = (352, 512),
+                  n_hues: int = N_HUES, n_textures: int = N_TEXTURES,
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Render one sample -> (img u8 HxWx3, mask u8 HxW, onehot f32 (N_FG,))."""
+    """Render one sample -> (img u8 HxWx3, mask u8 HxW, onehot f32 (n_fg,)).
+
+    Default (n_hues, n_textures) keeps the VOC-shaped task bit-identical to
+    round 3 (same rng draw order); (20, 4) is the 80-fg-class COCO shape."""
+    n_fg = n_hues * n_textures
     rng = np.random.default_rng(np.random.SeedSequence([seed, idx]))
     h = int(rng.integers(size_range[0], size_range[1] + 1))
     w = int(rng.integers(size_range[0], size_range[1] + 1))
@@ -219,14 +260,16 @@ def render_sample(seed: int, idx: int,
 
     # distractor shapes (under the foreground; never enter the mask)
     for _ in range(int(rng.integers(3, 7))):
-        _draw_object(rng, img, None, 0, foreground=False)
+        _draw_object(rng, img, None, 0, foreground=False,
+                     n_hues=n_hues, n_textures=n_textures)
 
     # --- foreground instances -------------------------------------------
     mask = np.zeros((h, w), np.uint8)
     n_obj = int(rng.choice([1, 2, 3], p=[0.4, 0.4, 0.2]))
-    classes = 1 + rng.choice(N_FG, size=n_obj, replace=False)
+    classes = 1 + rng.choice(n_fg, size=n_obj, replace=False)
     for c in classes:
-        _draw_object(rng, img, mask, int(c), foreground=True)
+        _draw_object(rng, img, mask, int(c), foreground=True,
+                     n_hues=n_hues, n_textures=n_textures)
 
     # pixel noise (sensor-ish) before the u8 quantize
     img += rng.normal(scale=0.012, size=img.shape).astype(np.float32)
@@ -234,7 +277,7 @@ def render_sample(seed: int, idx: int,
 
     # occlusion can erase a class entirely; labels reflect VISIBLE classes
     present = np.unique(mask)
-    onehot = np.zeros((N_FG,), np.float32)
+    onehot = np.zeros((n_fg,), np.float32)
     onehot[present[present > 0] - 1] = 1.0
     return img_u8, mask, onehot
 
@@ -276,39 +319,70 @@ def _voc_palette() -> bytes:
 
 def make_dataset(root: str, n_train: int = 3000, n_val: int = 200,
                  seed: int = 0, jpeg_quality: int = 92,
-                 size_range: Tuple[int, int] = (352, 512)) -> Dict[str, int]:
-    """Write the dataset in VOC12 layout under ``root``.
+                 size_range: Tuple[int, int] = (352, 512),
+                 layout: str = "voc",
+                 n_hues: Optional[int] = None,
+                 n_textures: Optional[int] = None,
+                 n_val_part: Optional[int] = None) -> Dict[str, int]:
+    """Write the dataset in VOC12 or COCO on-disk layout under ``root``.
 
     Train masks are NOT written (weak supervision — the training pipeline
     never reads them anyway, datasets.py raw(want_label=False)); val masks
     get the boundary-ignore ring. Split lists + the image-level label dict
-    go to {root}/splits/voc/ so runs use
+    go to {root}/splits/{voc,coco}/ so runs use
     ``--data_root {root} --split_dir {root}/splits``.
+
+    layout="voc" (default): 20 fg classes, {root}/JPEGImages +
+    SegmentationClassAug, splits train_aug/val — bit-identical to the
+    round-3 generator. layout="coco": 80 fg classes (20 hues x 4 textures),
+    {root}/{train,val}2014 + SegmentationClass/val2014, splits
+    train/val/val_part (reference dataloaders/coco.py:38-44 layout; during-
+    training eval uses val_part unless --valfull, dataloaders/__init__.py:25),
+    and the image-level dict the reference loads at coco.py:22 (its real COCO
+    copy is a missing large blob in this environment).
     """
     from PIL import Image
 
-    img_dir = os.path.join(root, "JPEGImages")
-    seg_dir = os.path.join(root, "SegmentationClassAug")
-    split_dir = os.path.join(root, "splits", "voc")
-    for d in (img_dir, seg_dir, split_dir):
-        os.makedirs(d, exist_ok=True)
+    assert layout in ("voc", "coco"), layout
+    if n_hues is None:
+        n_hues = N_HUES if layout == "voc" else COCO_N_HUES
+    if n_textures is None:
+        n_textures = N_TEXTURES if layout == "voc" else COCO_N_TEXTURES
+    n_fg = n_hues * n_textures
+
+    if layout == "voc":
+        dirs = {"train_aug": "JPEGImages", "val": "JPEGImages"}
+        seg_dirs = {"val": "SegmentationClassAug"}
+        splits = (("train_aug", n_train, 0), ("val", n_val, 10**6))
+        split_dir = os.path.join(root, "splits", "voc")
+    else:
+        dirs = {"train": "train2014", "val": "val2014"}
+        seg_dirs = {"val": os.path.join("SegmentationClass", "val2014")}
+        splits = (("train", n_train, 0), ("val", n_val, 10**6))
+        split_dir = os.path.join(root, "splits", "coco")
+    for d in set(dirs.values()) | set(seg_dirs.values()):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    os.makedirs(split_dir, exist_ok=True)
 
     labels: Dict[str, np.ndarray] = {}
-    names = {"train_aug": [], "val": []}
+    names: Dict[str, list] = {s: [] for s, _, _ in splits}
     pal = _voc_palette()
-    counts = np.zeros(N_FG + 1, np.int64)
-    for split, n, base in (("train_aug", n_train, 0), ("val", n_val, 10**6)):
+    counts = np.zeros(n_fg + 1, np.int64)
+    for split, n, base in splits:
         for k in range(n):
             idx = base + k
             name = f"synth_{idx:07d}"
-            img, mask, onehot = render_sample(seed, idx, size_range)
-            Image.fromarray(img).save(
-                os.path.join(img_dir, name + ".jpg"), quality=jpeg_quality
+            img, mask, onehot = render_sample(
+                seed, idx, size_range, n_hues=n_hues, n_textures=n_textures
             )
-            if split == "val":
+            Image.fromarray(img).save(
+                os.path.join(root, dirs[split], name + ".jpg"),
+                quality=jpeg_quality,
+            )
+            if split in seg_dirs:
                 m = Image.fromarray(boundary_ignore(mask), mode="P")
                 m.putpalette(pal)
-                m.save(os.path.join(seg_dir, name + ".png"))
+                m.save(os.path.join(root, seg_dirs[split], name + ".png"))
             labels[name] = onehot
             names[split].append(name)
             counts[0] += 1
@@ -317,10 +391,15 @@ def make_dataset(root: str, n_train: int = 3000, n_val: int = 200,
     for split, lst in names.items():
         with open(os.path.join(split_dir, split + ".txt"), "w") as f:
             f.write("\n".join(lst) + "\n")
+    if layout == "coco":  # during-training eval subset (reference val_part)
+        part = names["val"][: (n_val_part or max(1, n_val // 2))]
+        with open(os.path.join(split_dir, "val_part.txt"), "w") as f:
+            f.write("\n".join(part) + "\n")
     np.save(os.path.join(split_dir, "cls_labels_onehot.npy"),
             np.array(labels, dtype=object), allow_pickle=True)
     meta = dict(
-        n_train=n_train, n_val=n_val, seed=seed, num_classes=N_FG + 1,
+        n_train=n_train, n_val=n_val, seed=seed, num_classes=n_fg + 1,
+        layout=layout, n_hues=n_hues, n_textures=n_textures,
         class_images=counts[1:].tolist(),
     )
     with open(os.path.join(root, "meta.json"), "w") as f:

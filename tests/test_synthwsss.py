@@ -97,6 +97,71 @@ def test_make_dataset_voc_layout(tmp_path):
     ) > 0
 
 
+def test_voc_generator_unchanged_by_coco_extension():
+    """The round-3 run artifacts (work_dirs/synthrun_*) depend on the default
+    generator's exact rng draw order; pin it so the parametric COCO-shape
+    extension (n_hues/n_textures kwargs, new texture families) can never
+    silently change the VOC-shaped samples."""
+    img, mask, oh = sw.render_sample(7, 42)
+    assert (int(img.astype(np.int64).sum()), int(mask.astype(np.int64).sum()),
+            int(oh.sum())) == (56452604, 314344, 2)
+    explicit = sw.render_sample(7, 42, n_hues=sw.N_HUES,
+                                n_textures=sw.N_TEXTURES)
+    assert (explicit[0] == img).all() and (explicit[1] == mask).all()
+
+
+def test_coco_shape_render():
+    """80-class variant: determinism, all 4 texture families render, labels
+    track visible classes."""
+    a, ma, oa = sw.render_sample(5, 9, n_hues=20, n_textures=4)
+    b, mb, ob = sw.render_sample(5, 9, n_hues=20, n_textures=4)
+    assert (a == b).all() and (ma == mb).all() and (oa == ob).all()
+    assert oa.shape == (80,) and ma.max() <= 80
+    present = np.unique(ma)
+    present = present[present > 0]
+    assert set(np.nonzero(oa)[0] + 1) == set(present.tolist())
+    seen_tex = set()
+    for i in range(60):
+        _, m, _ = sw.render_sample(5, i, n_hues=20, n_textures=4)
+        ids = np.unique(m)
+        seen_tex |= {int((c - 1) // 20) for c in ids if c > 0}
+    assert seen_tex == {0, 1, 2, 3}
+
+
+def test_make_dataset_coco_layout(tmp_path):
+    root = str(tmp_path / "synthc")
+    meta = sw.make_dataset(root, n_train=4, n_val=4, seed=2, layout="coco",
+                           size_range=(96, 128))
+    assert meta["num_classes"] == 81 and meta["layout"] == "coco"
+    assert len(os.listdir(os.path.join(root, "train2014"))) == 4
+    assert len(os.listdir(os.path.join(root, "val2014"))) == 4
+    # masks only under SegmentationClass/val2014 (train GT withheld)
+    assert len(os.listdir(
+        os.path.join(root, "SegmentationClass", "val2014"))) == 4
+    assert not os.path.exists(os.path.join(root, "SegmentationClass",
+                                           "train2014"))
+    sdir = os.path.join(root, "splits")
+    part = open(os.path.join(sdir, "coco", "val_part.txt")).read().split()
+    assert len(part) == 2  # default n_val // 2
+
+    # the unmodified COCO pipeline loads it: image-level labels MUST come
+    # from the split dir's cls_labels_onehot.npy (reference coco.py:22) —
+    # the lazy mask-derived fallback would fail on train images, whose GT
+    # is withheld from disk.
+    from cosa_tpu.config import coco_config
+    from cosa_tpu.data.loader import build_train_dataset, build_val_dataset
+
+    cfg = coco_config(data_root=root, split_dir=sdir, crop_size=64)
+    tr = build_train_dataset(cfg)
+    s = tr[(0, 1)]
+    assert s["wimg"].shape == (64, 64, 3)
+    assert s["cls_label"].shape == (80,)
+    va = build_val_dataset(cfg)  # val_part during-training subset
+    assert len(va) == 2
+    v = va[0]
+    assert v["label"].shape == v["image"].shape[:2]
+
+
 def test_class_names_override(tmp_path):
     from cosa_tpu.data.datasets import class_list
 
