@@ -5,6 +5,9 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+echo "=== quick test tier (gate: one test per subsystem, ~90 s) ==="
+JAX_PLATFORMS=cpu timeout 600 python -m pytest tests/ -m quick -q 2>&1 | tail -3
+
 echo "=== bench_lattice (rff vs exact lattice on the train path) ==="
 timeout 1800 python scripts/bench_lattice.py 2>/tmp/bench_lattice.err | tee /tmp/bench_lattice.json
 

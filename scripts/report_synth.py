@@ -6,7 +6,7 @@ qualitative prediction panels for a few val images from the saved best_seg
 checkpoint (via the standard eval engine's save_dir path).
 
 Usage:
-  python scripts/report_synth.py --out_dir work_dirs/synthrun_r3/synthrun_r3 \
+  python scripts/report_synth.py --out_dir work_dirs/synthrun_r3 \
       --data_root work_dirs/synthdata [--panels 6]
 """
 

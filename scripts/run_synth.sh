@@ -30,5 +30,4 @@ python -m cosa_tpu.cli.train "$NAME" --dataset VOC12 \
   --warmup_gate_floor 0.01 \
   --eval_iters 500 \
   --batch_size 4 \
-  --work_dir work_dirs/"$NAME" \
   "$@"

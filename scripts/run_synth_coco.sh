@@ -30,5 +30,4 @@ python -m cosa_tpu.cli.train "$NAME" --dataset COCO \
   --warmup_gate_floor 0.01 \
   --eval_iters 1000 \
   --batch_size 8 \
-  --work_dir work_dirs/"$NAME" \
   "$@"
