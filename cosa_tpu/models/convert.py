@@ -120,9 +120,20 @@ def network_params_from_torch(sd: Dict[str, Any], depth: int = 12) -> Dict:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    import torch
+    """Read a torch .pth — torch-FREE for the zip serialization format
+    (torch >= 1.6, every reference-era checkpoint) via models/pth.py's
+    safelisted unpickler; torch.load only as a fallback for pre-1.6 legacy
+    pickles, so torch is an optional dependency of the weight-port path."""
+    import zipfile
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        from cosa_tpu.models.pth import load_pth_numpy
+
+        obj = load_pth_numpy(path)
+    except zipfile.BadZipFile:
+        import torch  # legacy (pre-zip) serialization only
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model" in obj:  # CoSA best_*.pth container
         return obj["model"]
     return obj

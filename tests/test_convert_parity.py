@@ -368,3 +368,85 @@ def test_augreg_npz_loader(tmp_path):
     params["encoder"] = enc
     out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out["cls"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Torch-free .pth reading (models/pth.py)
+# ---------------------------------------------------------------------------
+
+def test_pth_numpy_reader_matches_torch_load(tmp_path):
+    """Round-trip every dtype/layout the port path can meet through the
+    safelisted unpickler and compare elementwise with torch.load."""
+    from cosa_tpu.models.pth import load_pth_numpy
+
+    rng = np.random.default_rng(0)
+    base = torch.from_numpy(rng.standard_normal((6, 8)).astype(np.float32))
+    sd = {
+        "w32": base,
+        "noncontig": base.t(),                       # stride-swapped view
+        "sliced": base[1:5, 2:7],                     # offset + substride
+        "f16": base.to(torch.float16),
+        "bf16": base.to(torch.bfloat16),
+        "i64": torch.arange(24).reshape(4, 6),
+        "scalar": torch.tensor(3.25),
+        "b": torch.tensor([True, False, True]),
+    }
+    p = str(tmp_path / "t.pth")
+    torch.save(sd, p)
+    got = load_pth_numpy(p)
+    assert set(got) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(
+            np.asarray(got[k], np.float32) if k == "bf16" else got[k],
+            v.float().numpy() if k == "bf16" else v.numpy(), err_msg=k)
+
+
+def test_pth_reader_unwraps_container_and_stubs_args(tmp_path):
+    """CoSA best_*.pth containers hold {'model', 'args': Namespace, ...}
+    (reference utils/torch_helper.py:101-117); non-safelisted globals must
+    come back inert, never executed."""
+    import argparse
+
+    from cosa_tpu.models.convert import load_torch_checkpoint
+
+    ns = argparse.Namespace(lr=0.1, dataset="VOC12")
+    obj = {"model": {"x": torch.ones(2, 3)}, "args": ns, "epoch": 7,
+           "s_or_t": "s"}
+    p = str(tmp_path / "best_seg.pth")
+    torch.save(obj, p)
+    sd = load_torch_checkpoint(p)
+    np.testing.assert_array_equal(sd["x"], np.ones((2, 3), np.float32))
+
+
+def test_weight_port_runs_with_torch_blocked(tmp_path, monkeypatch):
+    """load_pretrained_into_state from a .pth with `import torch` failing —
+    the parity/port host does not need torch. (The .npz route is numpy-only
+    by construction, covered by test_augreg_npz_loader.)"""
+    import sys
+
+    from cosa_tpu.config import preset_config
+    from cosa_tpu.models import build_model
+    from cosa_tpu.models.convert import load_pretrained_into_state
+    from cosa_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(1)
+    sd = _torch_state_dict(rng)
+    pth = str(tmp_path / "net.pth")
+    torch.save(sd, pth)
+
+    cfg = preset_config("synthetic", name="portsmoke",
+                        backbone="vit_tiny_test", num_classes=NUM_CLASSES,
+                        aux_layer=AUX_LAYER, work_dir=str(tmp_path))
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, cfg.batch_size)
+
+    monkeypatch.setitem(sys.modules, "torch", None)  # import torch -> fails
+    cfg.pretrained_path = pth
+    state2 = load_pretrained_into_state(cfg, state)
+    kern = np.asarray(state2.student["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    want = sd["encoder.blocks.0.attn.qkv.weight"].numpy().T
+    np.testing.assert_allclose(kern, want, atol=1e-6)
+    # teacher gets the same overlay (reference builds both nets pretrained)
+    np.testing.assert_allclose(
+        np.asarray(state2.teacher["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        want, atol=1e-6)
