@@ -54,6 +54,11 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"mlp.*fc1.*kernel", P(None, "model")),
     (r"mlp.*fc1.*bias", P("model")),
     (r"mlp.*fc2.*kernel", P("model", None)),
+    # swin blocks keep fc1/fc2 directly on the block (models/zoo/swin.py),
+    # not under an 'mlp' scope — same column/row split applies
+    (r"stage\d+_block\d+.*fc1.*kernel", P(None, "model")),
+    (r"stage\d+_block\d+.*fc1.*bias", P("model")),
+    (r"stage\d+_block\d+.*fc2.*kernel", P("model", None)),
 )
 
 
