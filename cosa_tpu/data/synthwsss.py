@@ -190,7 +190,7 @@ def _lowres_noise(rng: np.random.Generator, h: int, w: int, cells: int = 9
 def _draw_object(rng: np.random.Generator, img: np.ndarray,
                  mask: Optional[np.ndarray], class_id: int,
                  foreground: bool, n_hues: int = N_HUES,
-                 n_textures: int = N_TEXTURES) -> None:
+                 n_textures: int = N_TEXTURES, fade: float = 1.0) -> None:
     """Render one shape instance into img (and mask when foreground)."""
     h, w = img.shape[:2]
     short = min(h, w)
@@ -215,8 +215,11 @@ def _draw_object(rng: np.random.Generator, img: np.ndarray,
         hue_idx = (class_id - 1) % n_hues
         tex = (class_id - 1) // n_hues
         hue = (hue_idx + rng.uniform(-0.25, 0.25)) / n_hues
-        sat = rng.uniform(0.65, 0.95)
-        val = rng.uniform(0.5, 0.9)
+        # fade < 1 pulls the foreground toward the achromatic distractor
+        # statistics (drifting-contrast regime for the GMM A/B): saturation
+        # scales down and value compresses toward the 0.55 background mean
+        sat = rng.uniform(0.65, 0.95) * fade
+        val = 0.55 + (rng.uniform(0.5, 0.9) - 0.55) * (0.4 + 0.6 * fade)
     else:  # distractor: same shapes/textures, but (near-)achromatic
         tex = int(rng.integers(n_textures))
         hue = rng.uniform(0, 1)
@@ -236,11 +239,23 @@ def _draw_object(rng: np.random.Generator, img: np.ndarray,
 def render_sample(seed: int, idx: int,
                   size_range: Tuple[int, int] = (352, 512),
                   n_hues: int = N_HUES, n_textures: int = N_TEXTURES,
+                  fade_range: Optional[Tuple[float, float]] = None,
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render one sample -> (img u8 HxWx3, mask u8 HxW, onehot f32 (n_fg,)).
 
     Default (n_hues, n_textures) keeps the VOC-shaped task bit-identical to
-    round 3 (same rng draw order); (20, 4) is the 80-fg-class COCO shape."""
+    round 3 (same rng draw order); (20, 4) is the 80-fg-class COCO shape.
+
+    ``fade_range=(lo, hi)``: the drifting-contrast regime (round 5, GMM
+    fixed-vs-adaptive A/B). One per-image factor ~ U(lo, hi) scales every
+    foreground instance's saturation and compresses its value contrast
+    toward the background mean, so the image POPULATION spans crisp
+    (fade~1) to faint (fade~lo) foregrounds. Faint images yield diffuse,
+    low-peaked CAMs, which makes any single fixed (low, high) threshold
+    pair wrong for part of the data — the regime adaptive GMM thresholds
+    exist for (reference seg_helper.py:924-959). The extra rng draw only
+    happens when fade_range is set, so default datasets stay bit-identical
+    to rounds 3-4."""
     n_fg = n_hues * n_textures
     rng = np.random.default_rng(np.random.SeedSequence([seed, idx]))
     h = int(rng.integers(size_range[0], size_range[1] + 1))
@@ -267,9 +282,10 @@ def render_sample(seed: int, idx: int,
     mask = np.zeros((h, w), np.uint8)
     n_obj = int(rng.choice([1, 2, 3], p=[0.4, 0.4, 0.2]))
     classes = 1 + rng.choice(n_fg, size=n_obj, replace=False)
+    fade = float(rng.uniform(*fade_range)) if fade_range is not None else 1.0
     for c in classes:
         _draw_object(rng, img, mask, int(c), foreground=True,
-                     n_hues=n_hues, n_textures=n_textures)
+                     n_hues=n_hues, n_textures=n_textures, fade=fade)
 
     # pixel noise (sensor-ish) before the u8 quantize
     img += rng.normal(scale=0.012, size=img.shape).astype(np.float32)
@@ -323,7 +339,9 @@ def make_dataset(root: str, n_train: int = 3000, n_val: int = 200,
                  layout: str = "voc",
                  n_hues: Optional[int] = None,
                  n_textures: Optional[int] = None,
-                 n_val_part: Optional[int] = None) -> Dict[str, int]:
+                 n_val_part: Optional[int] = None,
+                 fade_range: Optional[Tuple[float, float]] = None,
+                 ) -> Dict[str, int]:
     """Write the dataset in VOC12 or COCO on-disk layout under ``root``.
 
     Train masks are NOT written (weak supervision — the training pipeline
@@ -373,7 +391,8 @@ def make_dataset(root: str, n_train: int = 3000, n_val: int = 200,
             idx = base + k
             name = f"synth_{idx:07d}"
             img, mask, onehot = render_sample(
-                seed, idx, size_range, n_hues=n_hues, n_textures=n_textures
+                seed, idx, size_range, n_hues=n_hues, n_textures=n_textures,
+                fade_range=fade_range,
             )
             Image.fromarray(img).save(
                 os.path.join(root, dirs[split], name + ".jpg"),
@@ -400,6 +419,7 @@ def make_dataset(root: str, n_train: int = 3000, n_val: int = 200,
     meta = dict(
         n_train=n_train, n_val=n_val, seed=seed, num_classes=n_fg + 1,
         layout=layout, n_hues=n_hues, n_textures=n_textures,
+        fade_range=list(fade_range) if fade_range else None,
         class_images=counts[1:].tolist(),
     )
     with open(os.path.join(root, "meta.json"), "w") as f:

@@ -218,7 +218,8 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
             stacked = jnp.stack(
                 [jnp.stack([m[k] for k in keys]) for m in pending]
             )
-            parts = [stacked.reshape(-1), last["lr"][None]]
+            parts = [stacked.reshape(-1), last["lr"][None],
+                     last["thre_low"][None], last["thre_high"][None]]
             if not multihost:  # per-batch cls logits are data-sharded
                 parts += [
                     jax.nn.sigmoid(last["cls_logits"]).reshape(-1),
@@ -230,10 +231,11 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
             for row in vals:
                 meter.add(dict(zip(keys, row)))
             lr_now = float(host[nwin * 6])
+            thre_low, thre_high = float(host[nwin * 6 + 1]), float(host[nwin * 6 + 2])
             cls_acc = cls_aux_acc = float("nan")
             if not multihost:
                 ncls = cfg.num_classes - 1
-                probs = host[nwin * 6 + 1 :].reshape(2, -1, ncls)
+                probs = host[nwin * 6 + 3 :].reshape(2, -1, ncls)
                 labels = np.asarray(local_batch["cls_label"])
                 cls_acc = float(np.mean(compute_mAP(labels, probs[0]) or [0.0]))
                 cls_aux_acc = float(
@@ -248,6 +250,11 @@ def _train_body(cfg, model, state, step_fn, loader, val_ds, bshard, writer,
                 itertime=round(itertime, 3),
                 imgs_per_sec=round(global_batch / itertime, 2),
                 lr=lr_now,
+                # pseudo-label gate thresholds this step: the fixed
+                # low/high_thre pair, or the GMM EMA trajectory when usegmm —
+                # logged so adaptive-threshold behavior is auditable
+                thre_low=round(thre_low, 4),
+                thre_high=round(thre_high, 4),
                 cls_acc=round(cls_acc, 3),
                 cls_aux_acc=round(cls_aux_acc, 3),
                 **{

@@ -37,11 +37,16 @@ def main() -> None:
     ap.add_argument("--n_val", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--jpeg_quality", type=int, default=92)
+    ap.add_argument("--fade", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="drifting-contrast regime: per-image foreground "
+                         "fade factor ~ U(LO, HI) (GMM A/B, round 5)")
     args = ap.parse_args()
 
     t0 = time.time()
     meta = make_dataset(args.root, args.n_train, args.n_val, args.seed,
-                        jpeg_quality=args.jpeg_quality, layout=args.layout)
+                        jpeg_quality=args.jpeg_quality, layout=args.layout,
+                        fade_range=tuple(args.fade) if args.fade else None)
     names = class_names(meta["n_hues"], meta["n_textures"])
     with open(os.path.join(args.root, "splits", args.layout,
                            "class_names.txt"), "w") as f:

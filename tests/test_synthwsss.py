@@ -171,3 +171,30 @@ def test_class_names_override(tmp_path):
     names = class_list("VOC12", str(tmp_path / "splits"))
     assert names == sw.CLASS_NAMES
     assert class_list("VOC12")[0] == "_background_"
+
+
+def test_fade_range_faints_foreground():
+    """Drifting-contrast regime (round 5 GMM A/B): fade < 1 lowers foreground
+    saturation toward the distractor statistics; default rendering is
+    untouched when fade_range is None (no extra rng draw)."""
+    base, mask, _ = sw.render_sample(11, 5)
+    none_eq, mask2, _ = sw.render_sample(11, 5, fade_range=None)
+    np.testing.assert_array_equal(base, none_eq)
+
+    faint, fmask, foh = sw.render_sample(11, 5, fade_range=(0.3, 0.3))
+    assert fmask.any() and (foh.sum() >= 1)
+
+    def mean_fg_sat(img, m):
+        rgb = img[m > 0].astype(np.float32) / 255.0
+        mx, mn = rgb.max(1), rgb.min(1)
+        return float(np.mean((mx - mn) / np.maximum(mx, 1e-6)))
+
+    # same scene geometry is not guaranteed (fade consumes one rng draw),
+    # so compare population statistics over several images instead
+    sats_base = [mean_fg_sat(*sw.render_sample(11, i)[:2]) for i in range(4)]
+    sats_faint = [
+        mean_fg_sat(*sw.render_sample(11, i, fade_range=(0.3, 0.3))[:2])
+        for i in range(4)
+    ]
+    assert np.mean(sats_faint) < 0.6 * np.mean(sats_base), (
+        sats_base, sats_faint)
