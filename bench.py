@@ -11,17 +11,29 @@ training configurations:
     (baseline 2.54 s/iter on 2x RTX 3090 => 3.14 img/s,
     assets/logs/coco_log.txt:85)
 
+Every measured line also carries the roofline accounting (VERDICT r4 #2):
+  * tflops_per_step — XLA's own FLOP count for the compiled step program
+    (`compiled.cost_analysis()["flops"]`), i.e. what the compiler actually
+    scheduled, not an analytic estimate;
+  * achieved_tflops_per_sec = tflops_per_step / measured sec_per_iter;
+  * mfu = achieved / the chip's dense bf16 peak (197 TFLOP/s for the
+    v5e this repo benches on; table below for other TPU generations).
+
+An `energy_filter=lattice` line (exact-parity dense-energy training cost;
+the per-batch lattice structure build runs inside the timed loop exactly
+as train/loop.py runs it) is emitted when the wall budget allows.
+
 Prints one JSON line per measurement; the VOC headline line is ALWAYS the
-final line (the driver records the last JSON line), re-printed after the
-optional COCO line.
+final line (the driver records the last JSON line), re-printed at the end.
 
 Wall-clock discipline (the round-3 driver run hit its harness timeout —
 BENCH_r03.json rc=124 — because two cold full-step compiles over the axon
 relay total ~12 min): compiled executables persist in a compilation cache
 (COSA_XLA_CACHE_DIR, default /tmp/cosa_xla_cache), making warm reruns fast,
-and the COCO config only runs if the remaining COSA_BENCH_BUDGET_S (default
-520 s) fits a conservative projection from the measured VOC wall time; a
-skip is reported as a JSON line with "skipped": true.
+and the optional configs (lattice, COCO) only run if the remaining
+COSA_BENCH_BUDGET_S (default 520 s) fits a conservative projection from the
+measured VOC wall time; a skip is reported as a JSON line with
+"skipped": true.
 """
 
 from __future__ import annotations
@@ -29,16 +41,53 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
 VOC_BASELINE_IMGS_PER_SEC = 4.35  # 2x3090, global batch 4, 0.92 s/iter
 COCO_BASELINE_IMGS_PER_SEC = 3.14  # 2x3090, global batch 8, 2.54 s/iter
 
-# conservative projection of the COCO config's wall time from the measured
-# VOC wall time (COCO compiles the larger 81-class batch-8 program; the two
-# cold compiles together measured ~12 min over the relay)
+# conservative projections of each optional config's wall time from the
+# measured VOC wall time (cold compiles dominate over the axon relay)
 COCO_OVER_VOC = 1.5
+LATTICE_OVER_VOC = 1.3
+
+# Dense bf16 peak per chip, TFLOP/s (public TPU specs). device_kind
+# substrings are matched most-specific first.
+_PEAK_BF16_TFLOPS = (
+    ("v5 lite", 197.0),  # v5e
+    ("v5e", 197.0),
+    ("v5p", 459.0),
+    ("v6 lite", 918.0),  # Trillium / v6e
+    ("v6e", 918.0),
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "") or ""
+    kl = kind.lower()
+    for sub, peak in _PEAK_BF16_TFLOPS:
+        if sub in kl:
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float | None:
+    """XLA's FLOP count for a compiled executable, or None if unavailable."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+        ca = ca[0] if ca else {}
+    flops = ca.get("flops") if isinstance(ca, dict) else None
+    if flops is None or not np.isfinite(flops) or flops <= 0:
+        return None
+    return float(flops)
 
 
 def _bench_config(cfg, global_batch: int):
@@ -72,22 +121,55 @@ def _bench_config(cfg, global_batch: int):
     )
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    # compile + warmup. NOTE: under the axon relay block_until_ready does not
+    # exact-lattice path: the per-batch structure build is a second compiled
+    # program that train/loop.py runs before each step — time it in the loop.
+    lat_fn = None
+    flops = 0.0
+    flops_known = True
+    step_example = batch
+    if getattr(cfg, "energy_filter", "rff") == "lattice":
+        from cosa_tpu.objectives.energy import build_energy_lattice
+
+        lat_jit = jax.jit(partial(build_energy_lattice, cfg))
+        lat_compiled = lat_jit.lower(batch["simg"]).compile()
+        lat_flops = _flops_of(lat_compiled)
+        if lat_flops is None:
+            flops_known = False
+        else:
+            flops += lat_flops
+        lat_fn = lat_compiled
+        step_example = dict(batch, energy_lattice=lat_fn(batch["simg"]))
+
+    # AOT-compile the step so the SAME executable gives us both the FLOP
+    # accounting and the timed loop (no second trace/compile).
+    compiled = step.lower(state, step_example).compile()
+    step_flops = _flops_of(compiled)
+    if step_flops is None:
+        flops_known = False
+    else:
+        flops += step_flops
+
+    def one_step(state, batch):
+        if lat_fn is not None:
+            batch = dict(batch, energy_lattice=lat_fn(batch["simg"]))
+        return compiled(state, batch)
+
+    # warmup. NOTE: under the axon relay block_until_ready does not
     # synchronize; a host value fetch does. The final scalar depends on the
     # whole step chain through the donated state, so one fetch at the end of
     # the timed chain gives the true amortized step time.
     for _ in range(3):
-        state, metrics = step(state, batch)
+        state, metrics = one_step(state, batch)
     float(metrics["overall_loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = step(state, batch)
+        state, metrics = one_step(state, batch)
     loss = float(metrics["overall_loss"])
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(loss)
-    return dt
+    return dt, (flops if flops_known else None)
 
 
 def _emit(line: dict) -> None:
@@ -107,17 +189,19 @@ def main() -> None:
     budget = float(os.environ.get("COSA_BENCH_BUDGET_S", "520"))
     t_start = time.perf_counter()
     n_dev = jax.device_count()
+    peak = _peak_tflops(jax.devices()[0])
 
-    def run(name, make_cfg, global_batch, baseline):
+    def run(name, make_cfg, global_batch, baseline, **cfg_kw):
         per_dev = max(global_batch // n_dev, 1)
         gb = per_dev * n_dev
         cfg = make_cfg(
             batch_size=per_dev,
             energy_convention=1.0,  # perf bench; regularizer scale irrelevant
+            **cfg_kw,
         )
-        dt = _bench_config(cfg, gb)
+        dt, flops = _bench_config(cfg, gb)
         imgs_per_sec = gb / dt
-        return {
+        line = {
             "metric": f"{name}_train_imgs_per_sec",
             "value": round(imgs_per_sec, 3),
             "unit": "img/s",
@@ -127,27 +211,54 @@ def main() -> None:
             "n_devices": n_dev,
             "backend": jax.default_backend(),
         }
+        if flops is not None:
+            tflops_per_step = flops / 1e12
+            achieved = tflops_per_step / dt
+            line["tflops_per_step"] = round(tflops_per_step, 3)
+            line["achieved_tflops_per_sec"] = round(achieved, 2)
+            if peak is not None:
+                line["mfu"] = round(achieved / (peak * n_dev), 4)
+                line["peak_bf16_tflops_per_chip"] = peak
+        return line
 
     voc_line = run("voc", voc_config, 4, VOC_BASELINE_IMGS_PER_SEC)
     _emit(voc_line)  # headline out early, before any risk of a timeout
-
     voc_elapsed = time.perf_counter() - t_start
-    remaining = budget - voc_elapsed
-    if remaining > COCO_OVER_VOC * voc_elapsed + 20:
-        _emit(run("coco", coco_config, 8, COCO_BASELINE_IMGS_PER_SEC))
-    else:
-        _emit(
-            {
-                "metric": "coco_train_imgs_per_sec",
-                "skipped": True,
-                "reason": (
-                    f"budget: {remaining:.0f}s left of {budget:.0f}s after "
-                    f"VOC took {voc_elapsed:.0f}s (cold compile; warm cache "
-                    "reruns fit — see BENCH history / STATUS for the "
-                    "measured COCO number)"
-                ),
-            }
-        )
+
+    def gate(name, factor, thunk):
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining > factor * voc_elapsed + 20:
+            _emit(thunk())
+        else:
+            _emit(
+                {
+                    "metric": name,
+                    "skipped": True,
+                    "reason": (
+                        f"budget: {remaining:.0f}s left of {budget:.0f}s "
+                        f"(cold compile; warm cache reruns fit — see BENCH "
+                        "history / STATUS for measured numbers)"
+                    ),
+                }
+            )
+
+    # exact-parity dense-energy training cost (VERDICT r4 #2)
+    gate(
+        "voc_lattice_train_imgs_per_sec",
+        LATTICE_OVER_VOC,
+        lambda: run(
+            "voc_lattice",
+            voc_config,
+            4,
+            VOC_BASELINE_IMGS_PER_SEC,
+            energy_filter="lattice",
+        ),
+    )
+    gate(
+        "coco_train_imgs_per_sec",
+        COCO_OVER_VOC,
+        lambda: run("coco", coco_config, 8, COCO_BASELINE_IMGS_PER_SEC),
+    )
 
     _emit(voc_line)  # the driver records the LAST JSON line = VOC headline
 
