@@ -44,6 +44,23 @@ shift: SLOWER at both shapes (2.53/3.55 ms) — the max pass is free
 relative to the wider-dynamic-range exp2 it enables. The f32 one-shot
 softmax below is the measured floor.
 
+Considered and REJECTED by cycle-model analysis (r5): head-pairing to
+fill the 128-lane contraction of the D=64 QK^T (VERDICT r4 #2's second
+candidate). The MXU retires one 128(contraction)x128(output-lane) tile of
+MACs per cycle, so an (M, K)@(K, N) tile costs M * ceil(K/128) *
+ceil(N/128) cycles — a K=64 contraction half-fills the array's rows but
+costs the SAME cycles as K=128. Packing two heads block-diagonally
+(W[0:64, 0:64] = k_i, W[64:128, 64:128] = k_j, queries fed as
+[q_i | q_j]) does produce both heads' disjoint score columns in one pass,
+but the off-diagonal quadrants multiply zeros: useful MACs per output
+element stay 64, so two heads cost 2*M*N/128 cycles under EVERY packing
+— identical to two separate K=64 calls. No rearrangement reaches the
+K=128 rate without summing across heads (which is wrong algebra); the
+only true fix is a wider head dim, i.e. a different model. The PV
+contraction (K = sequence length) is already full-fill. Hence the D=64
+"half-lane" note above is a FLOP-utilization artifact, not recoverable
+wall time, and no paired kernel was built.
+
 Tried and REJECTED (r2): a packed-qkv variant whose BlockSpecs index
 head-strips of the raw (B, N, 3C) projection in place (to kill the ~5 ms
 of fold transposes/slices/bias adds around this kernel). Mosaic requires
